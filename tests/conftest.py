@@ -1,0 +1,55 @@
+"""Test configuration: force an 8-device virtual CPU mesh + 64-bit jax.
+
+Must run before jax is imported anywhere (pytest imports conftest first).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# NB: this environment's jax build (axon TPU plugin) ignores JAX_PLATFORMS from
+# the environment; the config update below is what actually forces CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+MECH_DIR = os.path.join(REFERENCE_ROOT, "DETAILED_KINETIC_MODEL")
+
+
+@pytest.fixture(scope="session")
+def jetsurf():
+    from hexpyro.mechanism import load_mechanism
+
+    return load_mechanism(os.path.join(MECH_DIR, "JetSurf.yaml"))
+
+
+@pytest.fixture(scope="session")
+def llnl():
+    from hexpyro.mechanism import load_mechanism
+
+    return load_mechanism(os.path.join(MECH_DIR, "LLNL.yaml"))
+
+
+@pytest.fixture(scope="session")
+def nuig():
+    from hexpyro.mechanism import load_mechanism
+
+    return load_mechanism(os.path.join(MECH_DIR, "NUIGMech1.1.yaml"))
+
+
+@pytest.fixture(scope="session")
+def jetsurf_dev(jetsurf):
+    import jax.numpy as jnp
+
+    from hexpyro.mechanism import to_device_arrays
+
+    return to_device_arrays(jetsurf, dtype=jnp.float64)
