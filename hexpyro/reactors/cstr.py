@@ -1,0 +1,272 @@
+"""Steady-state CSTR solver: the TPU-native replacement for Cantera's
+`sim.advance_to_steady_state()` inner loop.
+
+Reference semantics being reproduced (derivation):
+each PFR segment in the reference is an `ct.IdealGasReactor` fed by a
+`MassFlowController` and vented through a `PressureController` into a reservoir
+held at the initial state, integrated to steady state with CVODES
+(CRNN_TEMP_PRED_MODEL_TRAINING_DATASET_GENERATION/simul_data_gene_fix_chain_2D.py:81-160).
+At steady state:
+  * mass balance + PressureController  =>  P = P0 (the downstream reservoir
+    pressure), because m_out = m_in + K (P - P0) and dm/dt = 0;
+  * species balance                    =>  mdot (Y_in,k - Y_k) + V wdot_k W_k = 0;
+  * energy='off'                       =>  T = T0 (fixed);
+  * energy='on' + dU/dt = 0            =>  h(T, Y) = h_in (inflow enthalpy).
+
+So the steady state is an ALGEBRAIC system. Instead of translating the CVODES
+time integration, we march a pseudo-transient constant-pressure CSTR ODE
+
+    dY/dt = (mdot/(V rho)) (Y_in - Y) + wdot W / rho
+    dT/dt = (mdot/(V rho)) (h_in - h) / cp            (energy on only)
+
+to its fixed point with damped implicit-Euler/Newton steps and an SER
+(switched-evolution-relaxation) pseudo-timestep controller. This ODE has the
+same fixed point and is physically stable, so the continuation from the
+previous segment's state converges in a handful of Newton iterations. The whole
+solve is written over a batch axis: one `lax.while_loop` advances ALL cases,
+with converged lanes masked out, so the dense linear algebra stays batched on
+the MXU.
+
+Approximate Jacobians are used (exact wdot Jacobian incl. third-body terms,
+but secondary d(rho)/dx couplings dropped): they only affect iteration count --
+convergence is always declared on the exact residual.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..kinetics.wdot import wdot, wdot_and_jacobian
+from ..mechanism.arrays import MechanismArrays
+from ..solvers.linalg import batched_solve
+from ..thermo import nasa7
+
+
+@dataclasses.dataclass(frozen=True)
+class SteadyOptions:
+    rtol: float = 1e-8
+    atol_Y: float = 1e-14
+    max_iters: int = 80
+    dtau0_frac: float = 0.1  # initial pseudo-step as a fraction of t_res
+    dtau_growth: float = 15.0  # multiplicative growth on accepted steps
+    dtau_shrink: float = 0.25  # backoff on rejected (diverging) steps
+    accept_factor: float = 2.0  # tolerate mild transient residual growth
+    dtau_max_frac: float = 1e8  # effectively pure Newton once large
+    T_min: float = 250.0
+    T_max: float = 3500.0
+
+
+def _rhs_eoff(Y, T0, P0, Y_in, mdot_over_V, arr: MechanismArrays):
+    """Pseudo-transient RHS dY/dt for the isothermal (Eoff) segment. (B, ns)."""
+    rho = nasa7.density(T0, P0, Y, arr.mw)
+    C = rho[:, None] * Y / arr.mw
+    w = wdot(T0, P0, C, arr)
+    inv_rho = 1.0 / rho
+    return (mdot_over_V * inv_rho)[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
+
+
+def _rhs_eon(Y, T, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays):
+    """Pseudo-transient RHS (dY/dt, dT/dt) for the adiabatic (Eon) segment."""
+    rho = nasa7.density(T, P0, Y, arr.mw)
+    C = rho[:, None] * Y / arr.mw
+    w = wdot(T, P0, C, arr)
+    inv_rho = 1.0 / rho
+    flow = mdot_over_V * inv_rho  # (B,) 1/t_res
+    gY = flow[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
+    h = nasa7.enthalpy_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
+    cp = nasa7.cp_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
+    gT = flow * (h_in - h) / cp
+    return gY, gT
+
+
+def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays):
+    """Approximate d(dY/dt)/dY: exact wdot Jacobian + ideal-gas C(Y) chain rule.
+
+    C_i = rho Y_i / W_i with rho = P Wbar/(R T), dC_i/dY_m = rho delta/W_i
+    - C_i Wbar/W_m. Returns (J (B, ns, ns), rho, C, w).
+    """
+    rho = nasa7.density(T, P0, Y, arr.mw)
+    C = rho[:, None] * Y / arr.mw
+    w, Jw = wdot_and_jacobian(T, P0, C, arr)
+    wbar = nasa7.mean_molecular_weight(Y, arr.mw)
+    inv_rho = 1.0 / rho
+    flow = mdot_over_V * inv_rho  # (B,)
+
+    W_k = arr.mw[None, :, None]
+    inv_W_m = (1.0 / arr.mw)[None, None, :]
+    JwC = jnp.einsum("bki,bi->bk", Jw, C)
+    J = (
+        W_k * Jw * inv_W_m
+        - (W_k[..., 0] * JwC * wbar[:, None])[..., None] * inv_W_m * inv_rho[:, None, None]
+    )
+    ns = Y.shape[1]
+    J = J - flow[:, None, None] * jnp.eye(ns, dtype=Y.dtype)
+    return J, rho, C, w
+
+
+def solve_steady_eoff(
+    Y_guess, T0, P0, Y_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions
+):
+    """Batched steady state of isothermal CSTR segments.
+
+    Args: Y_guess/Y_in (B, ns); T0/P0/mdot_over_V (B,).
+    Returns (Y_star (B, ns), info dict with iterations + residual norms).
+    """
+    dtype = Y_guess.dtype
+    B, ns = Y_guess.shape
+    t_res = 1.0 / (mdot_over_V / nasa7.density(T0, P0, Y_in, arr.mw))  # ~ V rho/mdot
+
+    def resid_norm(g, Y, diagJ):
+        # estimated remaining Newton update |g|/|J_kk| vs the Y tolerance: a
+        # t_res weighting would demand absurd absolute accuracy of trace
+        # radicals whose own relaxation time is orders faster than t_res
+        rate = jnp.maximum(jnp.abs(diagJ), (1.0 / t_res)[:, None])
+        scale = opts.rtol * jnp.abs(Y) + opts.atol_Y
+        return jnp.max(jnp.abs(g) / (rate * scale), axis=1)
+
+    def cond(state):
+        Y, dtau, gnorm, it, done = state
+        return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
+
+    def body(state):
+        Y, dtau, gnorm_old, it, done = state
+        J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr)
+        diagJ = jnp.diagonal(J, axis1=1, axis2=2)
+        inv_rho = 1.0 / rho
+        g = (mdot_over_V * inv_rho)[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
+        A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
+        delta = batched_solve(A, g)
+        Y_new = jnp.clip(Y + delta, 0.0, 1.0)
+        Y_new = Y_new / jnp.sum(Y_new, axis=1, keepdims=True)
+        g_new = _rhs_eoff(Y_new, T0, P0, Y_in, mdot_over_V, arr)
+        gnorm_new = resid_norm(g_new, Y_new, diagJ)
+        # accept/reject pseudo-timestep controller: grow aggressively while the
+        # residual is non-increasing, back off and retry when it diverges
+        accept = gnorm_new <= gnorm_old * opts.accept_factor
+        dtau_new = jnp.where(accept, dtau * opts.dtau_growth, dtau * opts.dtau_shrink)
+        dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
+        newly_done = jnp.logical_and(accept, gnorm_new <= 1.0)
+        advance = jnp.logical_and(accept, ~done)
+        Y_out = jnp.where(advance[:, None], Y_new, Y)
+        return (
+            Y_out,
+            jnp.where(done, dtau, dtau_new),
+            jnp.where(advance, gnorm_new, gnorm_old),
+            it + 1,
+            jnp.logical_or(done, newly_done),
+        )
+
+    inf = jnp.full((B,), jnp.inf, dtype)
+    state0 = (
+        Y_guess,
+        jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res,
+        inf,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((B,), bool),
+    )
+    Y, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
+    return Y, {"iterations": iters, "resid": gnorm, "converged": done}
+
+
+def solve_steady_eon(
+    Y_guess, T_guess, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions
+):
+    """Batched steady state of adiabatic CSTR segments (unknowns Y and T).
+
+    Returns (Y_star, T_star, info).
+    """
+    dtype = Y_guess.dtype
+    B, ns = Y_guess.shape
+    n = ns + 1
+    t_res = 1.0 / (mdot_over_V / nasa7.density(T_guess, P0, Y_in, arr.mw))
+
+    def rhs(Y, T):
+        return _rhs_eon(Y, T, P0, Y_in, h_in, mdot_over_V, arr)
+
+    def resid_norm(gY, gT, Y, T, diagJ):
+        rate = jnp.maximum(jnp.abs(diagJ), (1.0 / t_res)[:, None])
+        sY = opts.rtol * jnp.abs(Y) + opts.atol_Y
+        nY = jnp.max(jnp.abs(gY) / (rate * sY), axis=1)
+        sT = opts.rtol * T  # T has no meaningful absolute floor issue
+        nT = jnp.abs(gT) * t_res / sT
+        return jnp.maximum(nY, nT)
+
+    def build_system(Y, T):
+        J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr)
+        inv_rho = 1.0 / rho
+        flow = mdot_over_V * inv_rho
+        gY = flow[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
+        h = nasa7.enthalpy_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
+        cp = nasa7.cp_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
+        gT = flow * (h_in - h) / cp
+
+        # dwdot/dT at fixed (Y, P): direct T dependence + dC/dT = -C/T
+        f_T = lambda t: wdot(t, P0, (nasa7.density(t, P0, Y, arr.mw)[:, None] * Y / arr.mw), arr)
+        _, dw_dT = jax.jvp(f_T, (T,), (jnp.ones_like(T),))
+        J_YT = gY / T[:, None] + dw_dT * arr.mw * inv_rho[:, None]  # (B, ns)
+
+        # species partial enthalpies per unit mass fraction [J/kg]
+        hk = (
+            nasa7.h_RT(T, arr.nasa_tmid, arr.nasa_coeffs)
+            * (8314.462618 * T[:, None])
+            / arr.mw
+        )
+        J_TY = -(flow / cp)[:, None] * hk  # (B, ns)
+        J_TT = -flow  # (B,) d gT/dT ~ -(mdot/V rho) (dominant term)
+
+        J = jnp.zeros((B, n, n), dtype)
+        J = J.at[:, :ns, :ns].set(J_YY)
+        J = J.at[:, :ns, ns].set(J_YT)
+        J = J.at[:, ns, :ns].set(J_TY)
+        J = J.at[:, ns, ns].set(J_TT)
+        g = jnp.concatenate([gY, gT[:, None]], axis=1)
+        return J, g
+
+    def cond(state):
+        Y, T, dtau, gnorm, it, done = state
+        return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
+
+    def body(state):
+        Y, T, dtau, gnorm_old, it, done = state
+        J, g = build_system(Y, T)
+        diagJ = jnp.diagonal(J, axis1=1, axis2=2)[:, :ns]
+        # scale the T slot so the damping matrix is well conditioned: the T
+        # unknown is O(1000 K) while Y is O(1); work in T/T_scale
+        T_scale = jnp.asarray(1000.0, dtype)
+        D = jnp.ones((n,), dtype).at[ns].set(T_scale)
+        Js = J * D[None, None, :]  # d g/d(x_scaled)
+        A = jnp.eye(n, dtype=dtype) / dtau[:, None, None] - Js
+        delta = batched_solve(A, g) * D[None, :]
+        Y_new = jnp.clip(Y + delta[:, :ns], 0.0, 1.0)
+        Y_new = Y_new / jnp.sum(Y_new, axis=1, keepdims=True)
+        T_new = jnp.clip(T + delta[:, ns], opts.T_min, opts.T_max)
+        gY_new, gT_new = rhs(Y_new, T_new)
+        gnorm_new = resid_norm(gY_new, gT_new, Y_new, T_new, diagJ)
+        accept = gnorm_new <= gnorm_old * opts.accept_factor
+        dtau_new = jnp.where(accept, dtau * opts.dtau_growth, dtau * opts.dtau_shrink)
+        dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
+        newly_done = jnp.logical_and(accept, gnorm_new <= 1.0)
+        advance = jnp.logical_and(accept, ~done)
+        return (
+            jnp.where(advance[:, None], Y_new, Y),
+            jnp.where(advance, T_new, T),
+            jnp.where(done, dtau, dtau_new),
+            jnp.where(advance, gnorm_new, gnorm_old),
+            it + 1,
+            jnp.logical_or(done, newly_done),
+        )
+
+    state0 = (
+        Y_guess,
+        T_guess,
+        jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res,
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((B,), bool),
+    )
+    Y, T, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
+    return Y, T, {"iterations": iters, "resid": gnorm, "converged": done}

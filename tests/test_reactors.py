@@ -1,0 +1,136 @@
+"""Steady-state CSTR + PFR chain tests.
+
+The toy mechanism (first-order A2 -> B2 -> C2, equal molecular weights) has a
+closed-form CSTR steady state: with flow = mdot/(V rho) the species balance
+reduces to Y_A* = f Y_A,in/(f + k1), Y_B* = (f Y_B,in + k1 Y_A*)/(f + k2),
+giving an exact analytic check of the pseudo-transient Newton solver.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hexpyro.mechanism import load_mechanism, to_device_arrays
+from hexpyro.reactors.cstr import SteadyOptions, solve_steady_eoff, solve_steady_eon
+from hexpyro.reactors.pfr import simulate_pfr, tracked_indices
+from hexpyro.thermo import nasa7
+
+TOY = os.path.join(os.path.dirname(__file__), "data", "toy.yaml")
+
+
+@pytest.fixture(scope="module")
+def toy():
+    return load_mechanism(TOY)
+
+
+@pytest.fixture(scope="module")
+def toy_dev(toy):
+    return to_device_arrays(toy)
+
+
+class TestSteadyCSTR:
+    def test_eoff_analytic(self, toy, toy_dev):
+        arr = toy_dev
+        B = 3
+        T0 = jnp.array([900.0, 1000.0, 1100.0])
+        P0 = jnp.full(B, 1.0e5)
+        Y_in = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (B, 1))
+        rho = nasa7.density(T0, P0, Y_in, arr.mw)
+        t_res = jnp.array([1e-3, 5e-3, 2e-2])
+        mdot_over_V = rho / t_res
+        Y, info = solve_steady_eoff(Y_in, T0, P0, Y_in, mdot_over_V, arr, SteadyOptions())
+        assert bool(info["converged"].all())
+        k1, k2 = 200.0, 50.0
+        f = np.asarray(1.0 / t_res)  # equal MW => flow = 1/t_res exactly at Y*?
+        # flow = mdot/(V rho(Y*)); all MW equal so rho is composition-independent
+        YA = f / (f + k1)
+        YB = (k1 * YA) / (f + k2)
+        np.testing.assert_allclose(np.asarray(Y[:, 0]), YA, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(Y[:, 1]), YB, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(Y.sum(1)), 1.0, atol=1e-12)
+
+    def test_eon_enthalpy_conservation(self, toy, toy_dev):
+        arr = toy_dev
+        B = 2
+        T_in = jnp.array([900.0, 1000.0])
+        P0 = jnp.full(B, 1.0e5)
+        Y_in = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (B, 1))
+        rho = nasa7.density(T_in, P0, Y_in, arr.mw)
+        mdot_over_V = rho / 5e-3
+        h_in = nasa7.enthalpy_mass(T_in, Y_in, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
+        Y, T, info = solve_steady_eon(
+            Y_in, T_in, P0, Y_in, h_in, mdot_over_V, arr, SteadyOptions()
+        )
+        assert bool(info["converged"].all())
+        # exothermic cascade (B2, C2 lower enthalpy) => temperature rises
+        assert np.all(np.asarray(T) > np.asarray(T_in))
+        h_out = nasa7.enthalpy_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
+        np.testing.assert_allclose(np.asarray(h_out), np.asarray(h_in), rtol=1e-7)
+
+
+class TestPFRChain:
+    def test_toy_chain_approaches_batch_limit(self, toy, toy_dev):
+        """Long residence time -> full conversion to C2 at the outlet."""
+        traj = simulate_pfr(
+            toy_dev,
+            jnp.array([1000.0]),
+            jnp.array([1e5]),
+            Y_feed=jnp.array([1.0, 0.0, 0.0]),
+            length=1.0,
+            u0=2.5,
+            n_steps=50,
+        )
+        assert bool(traj.converged.all())
+        # residence time ~= L/u = 0.4 s; k1 t ~ 80 => A2 gone, C2 dominant
+        assert float(traj.Y[0, -1, 0]) < 1e-3
+        assert float(traj.Y[0, -1, 2]) > 0.9
+        # time is strictly increasing, velocity constant (equal MW, isothermal)
+        assert np.all(np.diff(np.asarray(traj.t[0])) > 0)
+        np.testing.assert_allclose(np.asarray(traj.u[0]), 2.5, rtol=1e-8)
+
+    def test_jetsurf_short_chain_eoff(self, jetsurf, jetsurf_dev):
+        arr = jetsurf_dev
+        T0 = jnp.array([1000.0, 1100.0])
+        P0 = jnp.array([2.0e5, 1.0e5])
+        traj = simulate_pfr(
+            arr, T0, P0, species_names=jetsurf.species_names, n_steps=10
+        )
+        assert bool(traj.converged.all())
+        i_hex = jetsurf.species_index("NC6H14")
+        Yh = np.asarray(traj.Y[:, :, i_hex])
+        # hexane strictly consumed along the reactor
+        assert np.all(np.diff(Yh, axis=1) < 0)
+        # hotter case converts faster
+        assert Yh[1, -1] < Yh[0, -1]
+        # elemental mass fractions conserved along the chain (steady-state exact)
+        elem_mass = np.asarray(
+            jnp.einsum("bns,se,s->bne", traj.Y, arr.composition, 1.0 / arr.mw)
+        )
+        drift = np.abs(elem_mass - elem_mass[:, :1, :]).max() / elem_mass.max()
+        assert drift < 1e-8
+        # time increasing, velocity rises as moles increase (cracking)
+        assert np.all(np.diff(np.asarray(traj.t), axis=1) > 0)
+        assert float(traj.u[0, -1]) > float(traj.u[0, 0])
+
+    def test_jetsurf_eon_endothermic(self, jetsurf, jetsurf_dev):
+        arr = jetsurf_dev
+        T0 = jnp.array([1100.0])
+        P0 = jnp.array([2.0e5])
+        traj = simulate_pfr(
+            arr, T0, P0, species_names=jetsurf.species_names, n_steps=10, energy_on=True
+        )
+        assert bool(traj.converged.all())
+        T = np.asarray(traj.T[0])
+        # hexane pyrolysis is endothermic: adiabatic T falls monotonically
+        assert np.all(np.diff(T) <= 1e-9)
+        assert T[-1] < T[0] - 1.0
+
+    def test_tracked_indices(self, jetsurf, llnl):
+        idx_j = tracked_indices(jetsurf.species_names)
+        idx_l = tracked_indices(llnl.species_names)
+        assert len(idx_j) == len(idx_l) == 9
+        assert jetsurf.species_names[idx_j[6]] == "NC6H14"
+        assert llnl.species_names[idx_l[5]] == "C4H8-1"
+        assert jetsurf.species_names[idx_j[5]] == "C4H81"
