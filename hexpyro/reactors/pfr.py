@@ -44,6 +44,7 @@ def tracked_indices(species_names) -> list[int]:
     return [list(species_names).index(s) for s in names]
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PFRTrajectory:
     """Batched PFR solution on the (n_steps+1)-point grid (index 0 = inlet)."""

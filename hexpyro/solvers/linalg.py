@@ -1,15 +1,46 @@
 """Batched dense linear solves for the Newton iterations.
 
-v1 uses XLA's batched LU (jnp.linalg.solve) which maps well to TPU for the
-(B, n, n) shapes produced by the reactor solvers. A Pallas blocked-LU kernel can
-be swapped in behind the same interface (see hexpyro/ops).
+TPU constraint: XLA's LuDecomposition supports only F32 on TPU, and the chip has
+no native f64 anyway (jax f64 is emulated with f32 exponent range). So on TPU we
+solve in mixed precision -- row-equilibrate, factorize in f32, then do f64
+iterative refinement -- which is also the *fast* design: the O(n^3) work runs on
+the MXU in f32 while accuracy is recovered by cheap O(n^2) residual passes.
+Newton only needs the step direction to be roughly right; convergence is always
+declared on the exact residual (reactors/cstr.py).
+
+On CPU (tests) the plain f64 batched solve is used.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def batched_solve(A, b):
+def batched_solve(A, b, refine_iters: int = 2):
     """Solve A x = b for batches: A (B, n, n), b (B, n) -> (B, n)."""
+    if A.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        return _mixed_precision_solve(A, b, refine_iters)
     return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+def _mixed_precision_solve(A, b, refine_iters: int):
+    """f32 LU + f64 iterative refinement with row equilibration."""
+    # row equilibration keeps the f32 factorization sane for the stiff Newton
+    # matrices (row scales span ~1e12 between trace radicals and bulk species)
+    r = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=2), 1e-30)  # (B, n)
+    As = A * r[:, :, None]
+    bs = b * r
+
+    lu, piv = jax.scipy.linalg.lu_factor(As.astype(jnp.float32))
+
+    def solve32(rhs):
+        return jax.scipy.linalg.lu_solve((lu, piv), rhs.astype(jnp.float32)).astype(
+            A.dtype
+        )
+
+    x = solve32(bs)
+    for _ in range(refine_iters):
+        resid = bs - jnp.einsum("bij,bj->bi", As, x)
+        x = x + solve32(resid)
+    return x

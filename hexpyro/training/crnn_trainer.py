@@ -1,0 +1,264 @@
+"""CRNN neural-ODE trainer.
+
+Reference recipe (SURROGATE_MODEL_TRAINING/Eoff_surrogate_model_training.py):
+  * dataset: per-case trajectory txt, concentrations x1e3 -> mol/m^3 (:87),
+    yscale = clamp(max-min, 1e-6) (:110), 80/10/10 split random_state=42 (:61);
+  * i_obs = first ns-2 species (observed; excludes the two reservoir species C4H10,
+    C5H10-1) (:67);
+  * per-experiment dopri5 solve (atol 1e-3, rtol 1e-2) with linearly
+    interpolated T(t) (:390-397) -- P(t) is interpolated but unused by the RHS
+    (:297, dead code not reproduced);
+  * loss = MSE of yscale-normalized curves (:401-410); AdamW lr 5e-3 (torch
+    default weight decay 0.01), ReduceLROnPlateau(0.6, patience 5, thr 1e-4)
+    on validation loss (:515), grad-clip norm 200 (:19);
+  * per-epoch npz history of converted (w_in, w_b, w_out) (:459-468).
+
+TPU-native difference: experiments are solved as vmapped BATCHES inside one
+jitted update instead of 640 sequential python-loop solves per epoch. With
+batch_size=1 the optimizer sees the same per-sample SGD as the reference;
+larger batches trade optimizer noise for wall-clock (default 32).
+
+Eon variant (Eon_surrogate_model_training.py:118-195): the measured T profiles
+are replaced by the temp-MLP prediction from (T0, P0) before training, so the
+CRNN is trained on exactly the inputs it will see at deployment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from sklearn.model_selection import train_test_split
+
+from ..pipeline import artifacts
+from ..solvers.dopri5 import odeint_dopri5
+from ..surrogate import mlp as mlp_mod
+from ..surrogate.crnn import NS, CRNNConfig, crnn_rhs, parameter_converter
+from .schedules import PlateauState, plateau_init, plateau_step
+
+
+@dataclasses.dataclass
+class CRNNDataset:
+    tsteps: np.ndarray  # (n_exp, ntotal)
+    ylabel: np.ndarray  # (n_exp, ns, ntotal) [mol/m^3]
+    Tlist: np.ndarray  # (n_exp, ntotal)
+    Plist: np.ndarray  # (n_exp, ntotal)
+    u0: np.ndarray  # (n_exp, ns)
+    yscale: np.ndarray  # (n_exp, ns)
+
+
+def load_crnn_dataset(paths: list[str], ns: int = NS) -> CRNNDataset:
+    """Load trajectory txts with the reference reader semantics (:83-110)."""
+    ts, ys, Ts, Ps = [], [], [], []
+    for p in paths:
+        d = artifacts.read_trajectory_txt(p, ns)
+        ts.append(d["t"])
+        ys.append(d["C"].T * 1.0e3)  # kmol/m^3 -> mol/m^3
+        Ts.append(d["T"])
+        Ps.append(d["P"])
+    tsteps = np.stack(ts)
+    ylabel = np.stack(ys)
+    return CRNNDataset(
+        tsteps=tsteps,
+        ylabel=ylabel,
+        Tlist=np.stack(Ts),
+        Plist=np.stack(Ps),
+        u0=ylabel[:, :, 0],
+        yscale=np.clip(ylabel.max(2) - ylabel.min(2), 1e-6, None),
+    )
+
+
+def substitute_temp_profiles(ds: CRNNDataset, mlp_params, out_min, out_max) -> CRNNDataset:
+    """Replace measured T(t) by the temp-MLP prediction (Eon recipe :118-195)."""
+    T0 = ds.Tlist[:, 0]
+    P0 = ds.Plist[:, 0]
+    x = np.stack([T0, P0], axis=1)
+    scale = np.array([[870.0, 1.0e5], [1150.0, 3.0e5]])  # Pa (:129-130)
+    xn = jnp.asarray(mlp_mod.normalize_inputs(x, scale), jnp.float32)
+    model = mlp_mod.ProfileMLP(output_node=ds.tsteps.shape[1] - 1)
+    pred = np.asarray(model.apply({"params": mlp_params}, xn))
+    pred = pred * (out_max - out_min) + out_min
+    Tlist = np.concatenate([T0[:, None], pred], axis=1)
+    return dataclasses.replace(ds, Tlist=Tlist.astype(ds.Tlist.dtype))
+
+
+@dataclasses.dataclass
+class CRNNTrainConfig:
+    epochs: int = 300
+    batch_size: int = 32
+    learning_rate: float = 5e-3
+    weight_decay: float = 0.01  # torch AdamW default; wide run uses 1e-4
+    grad_clip: float = 200.0  # 10.0 in wide (:WIDE 19)
+    rtol: float = 1e-2
+    atol: float = 1e-3
+    split_seed: int = 42
+    shuffle_seed: int = 0
+    n_obs: int = NS - 2
+    plateau_factor: float = 0.6
+    plateau_patience: int = 5
+    plateau_threshold: float = 1e-4
+    max_steps_per_interval: int = 8
+    save_path: str | None = None
+    save_every: int = 10
+
+
+def make_splits(n_exp: int, seed: int = 42):
+    """80/10/10 split matching the reference exactly (:61-62)."""
+    train_idx, tmp = train_test_split(np.arange(n_exp), test_size=0.2, random_state=seed)
+    valid_idx, test_idx = train_test_split(tmp, test_size=0.5, random_state=seed)
+    return train_idx, valid_idx, test_idx
+
+
+def predict_batch(p, cfg: CRNNConfig, tsteps, Tlist, u0, rtol, atol, max_spi=8):
+    """Solve the CRNN ODE for a batch of experiments. Returns (B, ntotal, ns)."""
+    w_in, w_b, w_out = parameter_converter(p, cfg)
+
+    def one(ts_row, T_row, u0_row):
+        rhs = lambda t, u: crnn_rhs(
+            u, jnp.interp(t, ts_row, T_row), w_in, w_b, w_out, cfg
+        )
+        return odeint_dopri5(
+            rhs, u0_row, ts_row, rtol=rtol, atol=atol, max_steps_per_interval=max_spi
+        )
+
+    sol = jax.vmap(one)(tsteps, Tlist, u0)
+    return jnp.clip(sol, cfg.lb, cfg.ub)
+
+
+def batch_loss(p, cfg: CRNNConfig, tsteps, Tlist, u0, ylabel, yscale, tcfg: CRNNTrainConfig):
+    """Mean of the reference per-experiment losses over the batch (:401-410)."""
+    sol = predict_batch(
+        p, cfg, tsteps, Tlist, u0, tcfg.rtol, tcfg.atol, tcfg.max_steps_per_interval
+    )  # (B, T, ns)
+    pred = jnp.swapaxes(sol, 1, 2)[:, : tcfg.n_obs, :]  # (B, n_obs, T)
+    ref = ylabel[:, : tcfg.n_obs, :]
+    ysc = yscale[:, : tcfg.n_obs, None]
+    return jnp.mean(((pred - ref) / ysc) ** 2)
+
+
+def train_crnn(
+    p0: np.ndarray,
+    ds: CRNNDataset,
+    cfg: CRNNConfig,
+    tcfg: CRNNTrainConfig,
+    verbose: bool = True,
+):
+    """Full training loop; returns (p, history dict)."""
+    n_exp = ds.tsteps.shape[0]
+    train_idx, valid_idx, _ = make_splits(n_exp, tcfg.split_seed)
+
+    data = {
+        "tsteps": jnp.asarray(ds.tsteps),
+        "Tlist": jnp.asarray(ds.Tlist),
+        "u0": jnp.asarray(ds.u0),
+        "ylabel": jnp.asarray(ds.ylabel),
+        "yscale": jnp.asarray(ds.yscale),
+    }
+
+    opt = optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=tcfg.learning_rate, weight_decay=tcfg.weight_decay
+        ),
+    )
+    p = jnp.asarray(p0)
+    opt_state = opt.init(p)
+
+    def gather(idx):
+        return tuple(data[k][idx] for k in ("tsteps", "Tlist", "u0", "ylabel", "yscale"))
+
+    @jax.jit
+    def train_epoch(p, opt_state, batches, lr):
+        def one(carry, batch):
+            p, opt_state, total = carry
+            ts, Tl, u0, yl, ysc = batch
+            loss, grads = jax.value_and_grad(batch_loss)(
+                p, cfg, ts, Tl, u0, yl, ysc, tcfg
+            )
+            updates, opt_state = opt.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt_state, total + loss), None
+
+        opt_state[1].hyperparams["learning_rate"] = lr
+        (p, opt_state, total), _ = jax.lax.scan(one, (p, opt_state, jnp.zeros(())), batches)
+        return p, opt_state, total / batches[0].shape[0]
+
+    @jax.jit
+    def eval_loss(p, ts, Tl, u0, yl, ysc):
+        return batch_loss(p, cfg, ts, Tl, u0, yl, ysc, tcfg)
+
+    rng = np.random.default_rng(tcfg.shuffle_seed)
+    plateau = plateau_init()
+    history = {"train_loss": [], "valid_loss": [], "parameters": []}
+    valid_batch = gather(jnp.asarray(valid_idx))
+
+    bs = tcfg.batch_size
+    n_batches = max(1, len(train_idx) // bs)
+    for epoch in range(tcfg.epochs):
+        perm = rng.permutation(len(train_idx))[: n_batches * bs]
+        idx = jnp.asarray(np.asarray(train_idx)[perm].reshape(n_batches, bs))
+        batches = tuple(
+            jnp.stack([data[k][idx[i]] for i in range(n_batches)])
+            for k in ("tsteps", "Tlist", "u0", "ylabel", "yscale")
+        )
+        lr = tcfg.learning_rate * float(plateau.scale)
+        p, opt_state, train_loss = train_epoch(p, opt_state, batches, lr)
+        valid_loss = eval_loss(p, *valid_batch)
+        plateau = plateau_step(
+            plateau,
+            valid_loss,
+            factor=tcfg.plateau_factor,
+            patience=tcfg.plateau_patience,
+            threshold=tcfg.plateau_threshold,
+        )
+        w_in, w_b, w_out = parameter_converter(p, cfg)
+        history["train_loss"].append(float(train_loss))
+        history["valid_loss"].append(float(valid_loss))
+        history["parameters"].append(
+            {
+                "w_in": np.asarray(w_in),
+                "w_b": np.asarray(w_b),
+                "w_out": np.asarray(w_out),
+            }
+        )
+        if verbose:
+            print(
+                f"epoch {epoch + 1}/{tcfg.epochs} train {float(train_loss):.6f} "
+                f"valid {float(valid_loss):.6f} lr {lr:.2e}"
+            )
+        if tcfg.save_path and ((epoch + 1) % tcfg.save_every == 0):
+            _save(tcfg.save_path, history, p)
+
+    if tcfg.save_path:
+        _save(tcfg.save_path, history, p, final=True)
+    return np.asarray(p), history
+
+
+def _save(path, history, p, final=False):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    artifacts.save_crnn_history(
+        path,
+        history["train_loss"],
+        history["valid_loss"],
+        history["parameters"],
+        final=history["parameters"][-1] if final else None,
+        updated_p=np.asarray(p) if final else None,
+    )
+
+
+def test_crnn(p, ds: CRNNDataset, cfg: CRNNConfig, tcfg: CRNNTrainConfig):
+    """Loss on the held-out test split (reference Trainer.test :492-510)."""
+    _, _, test_idx = make_splits(ds.tsteps.shape[0], tcfg.split_seed)
+    idx = jnp.asarray(test_idx)
+    return float(
+        batch_loss(
+            jnp.asarray(p), cfg,
+            jnp.asarray(ds.tsteps)[idx], jnp.asarray(ds.Tlist)[idx],
+            jnp.asarray(ds.u0)[idx], jnp.asarray(ds.ylabel)[idx],
+            jnp.asarray(ds.yscale)[idx], tcfg,
+        )
+    )
