@@ -1,0 +1,94 @@
+"""hexpyro command-line interface.
+
+Subcommands (SURVEY.md section 7): sample / simulate / fit-seed / train-crnn /
+train-temp-mlp / train-time-mlp / deploy / bench. Every command takes
+`--config cfg.toml` plus individual overrides; run
+`python -m hexpyro.cli <cmd> --help` for the full list.
+
+Example end-to-end (JetSurf, isothermal, small smoke sweep):
+  python -m hexpyro.cli sample   --mechanism JetSurf --n-cases 32
+  python -m hexpyro.cli simulate --mechanism JetSurf --n-cases 32 --chunk-size 8
+  python -m hexpyro.cli train-crnn --mechanism JetSurf --n-cases 32 --epochs 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from .pipeline.config import PipelineConfig
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", help="TOML config file")
+    p.add_argument("--mechanism", choices=["JetSurf", "LLNL", "NUIGMech1.1"])
+    p.add_argument("--mech-dir", dest="mech_dir")
+    p.add_argument("--energy-on", dest="energy_on", action="store_const", const=True)
+    p.add_argument("--wide", action="store_const", const=True)
+    p.add_argument("--dims", type=int, choices=[2, 4])
+    p.add_argument("--n-cases", dest="n_cases", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--n-steps", dest="n_steps", type=int)
+    p.add_argument("--out-root", dest="out_root")
+    p.add_argument("--chunk-size", dest="chunk_size", type=int)
+    p.add_argument("--dtype", choices=["f64", "f32"])
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--learning-rate", dest="learning_rate", type=float)
+
+
+def _config_from_args(args) -> PipelineConfig:
+    fields = {f.name for f in dataclasses.fields(PipelineConfig)}
+    overrides = {k: v for k, v in vars(args).items() if k in fields and v is not None}
+    if args.config:
+        return PipelineConfig.from_toml(args.config, **overrides)
+    return PipelineConfig().with_overrides(**overrides)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="hexpyro")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name in (
+        "sample",
+        "simulate",
+        "fit-seed",
+        "train-crnn",
+        "train-temp-mlp",
+        "train-time-mlp",
+        "deploy",
+    ):
+        sp = sub.add_parser(name)
+        _add_common(sp)
+        if name == "train-crnn":
+            sp.add_argument("--temp-mlp-dir", dest="temp_mlp_dir")
+        if name == "deploy":
+            sp.add_argument("--crnn-npz", dest="crnn_npz", required=True)
+            sp.add_argument("--time-mlp-dir", dest="time_mlp_dir", required=True)
+            sp.add_argument("--temp-mlp-dir", dest="temp_mlp_dir")
+
+    args = parser.parse_args(argv)
+    cfg = _config_from_args(args)
+
+    from .pipeline import stages
+
+    if args.cmd == "sample":
+        print(stages.stage_sample(cfg))
+    elif args.cmd == "simulate":
+        stages.stage_simulate(cfg)
+    elif args.cmd == "fit-seed":
+        stages.stage_fit_seed(cfg)
+    elif args.cmd == "train-crnn":
+        stages.stage_train_crnn(cfg, temp_mlp_dir=args.temp_mlp_dir)
+    elif args.cmd == "train-temp-mlp":
+        stages.stage_train_profile_mlp(cfg, "temp")
+    elif args.cmd == "train-time-mlp":
+        stages.stage_train_profile_mlp(cfg, "time")
+    elif args.cmd == "deploy":
+        stages.stage_deploy(
+            cfg, args.crnn_npz, args.time_mlp_dir, temp_mlp_dir=args.temp_mlp_dir
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

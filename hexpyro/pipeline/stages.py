@@ -1,0 +1,331 @@
+"""Pipeline stage orchestration: sample -> simulate -> fit-seed -> train -> deploy.
+
+Each stage mirrors one reference directory (SURVEY.md section 1 layer map) but
+runs as batched jitted TPU computations instead of multiprocessing Pools:
+
+  sample      *_DATASET_GENERATION/Latin_hypercube_sampling_{2D,4D}.py
+  simulate    *_DATASET_GENERATION/simul_data_gene_fix_chain_{2D,4D}.py
+  fit-seed    INITIAL_ARRHENIUS_PARAMETER_OPTIMIZATION/
+  train-crnn  SURROGATE_MODEL_TRAINING/
+  train-*-mlp TEMP/TIME_PRED_MODEL_TRAINING/
+  deploy      SURROGATE_MODEL/
+
+Artifacts are written in the reference's interchange formats (pipeline/artifacts.py)
+so either framework can consume the other's outputs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..sampling import lhs
+from . import artifacts
+from .config import PipelineConfig
+
+
+def _jax_setup(cfg: PipelineConfig):
+    import jax
+
+    # NB: this environment's axon jax build ignores the JAX_PLATFORMS env var;
+    # honor an explicit platform request through the config system instead
+    platform = os.environ.get("HEXPYRO_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if cfg.x64:
+        jax.config.update("jax_enable_x64", True)
+    cache_dir = os.environ.get("HEXPYRO_XLA_CACHE", "/root/.cache/jax_compile")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    return jax
+
+
+def stage_sample(cfg: PipelineConfig) -> str:
+    """Draw the LHS cases and write the headerless CSV."""
+    os.makedirs(cfg.out_root, exist_ok=True)
+    if cfg.dims == 2:
+        cases = lhs.sample_2d(cfg.n_cases, seed=cfg.seed, wide=cfg.wide)
+    elif cfg.dims == 4:
+        cases = lhs.sample_4d(cfg.n_cases, seed=cfg.seed)
+    else:
+        raise ValueError(f"dims must be 2 or 4, got {cfg.dims}")
+    lhs.write_cases_csv(cfg.cases_csv, cases)
+    return cfg.cases_csv
+
+
+def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose=True):
+    """Run the batched PFR sweep and write per-case trajectory txt files."""
+    jax = _jax_setup(cfg)
+    import jax.numpy as jnp
+
+    from ..mechanism import load_mechanism, to_device_arrays
+    from ..reactors.pfr import simulate_pfr, tracked_indices
+
+    dtype = jnp.float32 if cfg.dtype == "f32" else jnp.float64
+    mech = load_mechanism(cfg.mech_path, name=cfg.mechanism)
+    arr = to_device_arrays(mech, dtype=dtype)
+    tracked = tracked_indices(mech.species_names)
+
+    if cases is None:
+        cases = lhs.read_cases_csv(cfg.cases_csv)
+    cases = np.atleast_2d(cases)
+    n = len(cases)
+    mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
+
+    fn = jax.jit(
+        lambda T0, P0, L, u0: simulate_pfr(
+            arr,
+            T0,
+            P0,
+            length=L,
+            u0=u0,
+            species_names=mech.species_names,
+            n_steps=cfg.n_steps,
+            energy_on=cfg.energy_on,
+        )
+    )
+
+    paths, n_unconverged = [], 0
+    t_start = time.time()
+    chunk = cfg.chunk_size
+    for lo in range(0, n, chunk):
+        sel = cases[lo : lo + chunk]
+        pad = chunk - len(sel)
+        sel_p = np.concatenate([sel, np.repeat(sel[-1:], pad, 0)]) if pad else sel
+        T0 = jnp.asarray(sel_p[:, 0], dtype)
+        P0 = jnp.asarray(sel_p[:, 1] * 1e5, dtype)
+        if cfg.dims == 4:
+            L = jnp.asarray(sel_p[:, 2], dtype)
+            u0 = jnp.asarray(sel_p[:, 3], dtype)
+        else:
+            L = jnp.full((len(sel_p),), 1.0, dtype)
+            u0 = jnp.full((len(sel_p),), 2.5, dtype)
+        traj = jax.block_until_ready(fn(T0, P0, L, u0))
+        if pad:
+            traj = jax.tree_util.tree_map(lambda x: x[: len(sel)], traj)
+        n_unconverged += int((~np.asarray(traj.converged)).sum())
+        paths += artifacts.write_sweep(
+            cfg.dataset_dir, mech_tag, cfg.energy_on, traj, arr, tracked,
+            offset=lo, include_rho=(cfg.dims == 4),
+        )
+        if verbose:
+            done = min(lo + chunk, n)
+            rate = done / (time.time() - t_start)
+            print(f"[simulate] {done}/{n} cases ({rate:.2f} cases/s)", flush=True)
+    if n_unconverged:
+        print(f"[simulate] WARNING: {n_unconverged} unconverged cases")
+    return paths
+
+
+def stage_fit_seed(cfg: PipelineConfig):
+    """Consumption-rate probe + frozen-A Arrhenius fit -> CSV + constants."""
+    jax = _jax_setup(cfg)
+    import jax.numpy as jnp
+
+    from ..mechanism import load_mechanism, to_device_arrays
+    from .seedfit import consumption_rate_sweep, fit_seed_arrhenius, write_consumption_csv
+
+    dtype = jnp.float32 if cfg.dtype == "f32" else jnp.float64
+    mech = load_mechanism(cfg.mech_path, name=cfg.mechanism)
+    arr = to_device_arrays(mech, dtype=dtype)
+    T, C0, rate, done = consumption_rate_sweep(arr, mech.species_names)
+    os.makedirs(cfg.out_root, exist_ok=True)
+    mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
+    csv = f"{cfg.out_root}/{mech_tag}_cons_rate_1b.csv"
+    write_consumption_csv(csv, T, C0, rate)
+    b, ea = fit_seed_arrhenius(T, C0, rate)
+    print(f"[fit-seed] {cfg.mechanism}: b={b:.4f}, Ea={ea:.3f} kcal/mol -> {csv}")
+    return b, ea
+
+
+def _dataset_paths(cfg: PipelineConfig) -> list[str]:
+    mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
+    return [
+        os.path.join(
+            cfg.dataset_dir,
+            artifacts.trajectory_case_filename(mech_tag, cfg.energy_on, k + 1),
+        )
+        for k in range(cfg.n_cases)
+    ]
+
+
+def stage_train_crnn(cfg: PipelineConfig, temp_mlp_dir: str | None = None):
+    """CRNN training on the generated trajectory dataset; npz history out."""
+    _jax_setup(cfg)
+    from ..surrogate.crnn import config_for, init_parameters
+    from ..training import crnn_trainer as ct
+
+    variant = "wide" if cfg.wide else "default"
+    ccfg = config_for(cfg.mechanism if cfg.mechanism in ("LLNL", "JetSurf") else "NUIG",
+                      variant=variant, energy_on=cfg.energy_on)
+    ds = ct.load_crnn_dataset(_dataset_paths(cfg))
+    if cfg.energy_on:
+        mlp_dir = temp_mlp_dir or f"{cfg.out_root}/temp_mlp"
+        params = artifacts.load_mlp_params_npz(f"{mlp_dir}/weights_{cfg.mechanism}_2D.npz")
+        lo, hi = artifacts.load_minmax_scaler(f"{mlp_dir}/min_max_{cfg.mechanism}_2D.pkl")
+        ds = ct.substitute_temp_profiles(ds, params, lo, hi)
+    mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
+    wide_tag = "_wide" if cfg.wide else ""
+    save = f"{cfg.out_root}/crnn/training_history_{mech_tag}_{cfg.mode}{wide_tag}.npz"
+    tcfg = ct.CRNNTrainConfig(save_path=save)
+    if cfg.wide:
+        tcfg = ct.CRNNTrainConfig(
+            save_path=save, epochs=500, learning_rate=5e-4, grad_clip=10.0,
+            weight_decay=1e-4, rtol=1e-4, atol=1e-6,
+        )
+    if cfg.epochs is not None:
+        tcfg.epochs = cfg.epochs
+    if cfg.batch_size is not None:
+        tcfg.batch_size = cfg.batch_size
+    if cfg.learning_rate is not None:
+        tcfg.learning_rate = cfg.learning_rate
+    p0 = init_parameters(0, ccfg)
+    p, hist = ct.train_crnn(p0, ds, ccfg, tcfg)
+    test_loss = ct.test_crnn(p, ds, ccfg, tcfg)
+    print(f"[train-crnn] final train {hist['train_loss'][-1]:.6f} "
+          f"valid {hist['valid_loss'][-1]:.6f} test {test_loss:.6f} -> {save}")
+    return save
+
+
+def stage_train_profile_mlp(cfg: PipelineConfig, which: str):
+    """Train the temperature ('temp') or time-grid ('time') MLP."""
+    _jax_setup(cfg)
+    from ..surrogate import mlp as mlp_mod
+    from ..training.mlp_trainer import MLPTrainConfig, train_profile_mlp
+
+    cases = lhs.read_cases_csv(cfg.cases_csv)
+    paths = _dataset_paths(cfg)
+    outputs = []
+    for p in paths:
+        d = artifacts.read_trajectory_txt(p)
+        outputs.append(d["T"][1:] if which == "temp" else d["t"][1:])
+    outputs = np.stack(outputs)
+
+    if which == "temp":
+        inputs = cases[:, :2]
+        scale = mlp_mod.INPUT_SCALE_2D
+        epochs = cfg.epochs or 20
+        tag = f"{cfg.mechanism}_2D"
+    else:
+        if cfg.dims == 4:
+            inputs = cases[:, :4]
+        else:  # 2D dataset at fixed geometry
+            inputs = np.concatenate(
+                [cases[:, :2], np.tile([1.0, 2.5], (len(cases), 1))], axis=1
+            )
+        scale = mlp_mod.INPUT_SCALE_4D
+        epochs = cfg.epochs or 3000
+        tag = f"{cfg.mechanism}_4D_time_{'on' if cfg.energy_on else 'off'}"
+
+    mcfg = MLPTrainConfig(
+        input_scale=scale,
+        epochs=epochs,
+        batch_size=cfg.batch_size or 32,
+        learning_rate=cfg.learning_rate or 1e-3,
+    )
+    res = train_profile_mlp(inputs, outputs, mcfg)
+    out_dir = f"{cfg.out_root}/{which}_mlp"
+    os.makedirs(out_dir, exist_ok=True)
+    artifacts.save_mlp_params(f"{out_dir}/weights_{tag}.npz", res.params)
+    artifacts.save_minmax_scaler(f"{out_dir}/min_max_{tag}.pkl", res.out_min, res.out_max)
+    from ..evalsuite.metrics import r2_score
+
+    r2 = r2_score(res.test_outputs, res.test_pred)
+    print(f"[train-{which}-mlp] final train {res.history_train[-1]:.3e} "
+          f"valid {res.history_valid[-1]:.3e} test R2 {r2:.5f} -> {out_dir}/weights_{tag}.npz")
+    return out_dir
+
+
+def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
+                 temp_mlp_dir: str | None = None, cases: np.ndarray | None = None):
+    """Compose the surrogate and produce predictions + the metric CSV."""
+    _jax_setup(cfg)
+    import jax.numpy as jnp
+
+    from ..evalsuite.metrics import metric_table
+    from ..surrogate import deploy as dep, mlp as mlp_mod
+    from ..surrogate.crnn import config_for
+
+    w_in, w_b, w_out = artifacts.load_crnn_parameters(crnn_npz)
+    variant = "wide" if cfg.wide else "default"
+    ccfg = config_for(cfg.mechanism if cfg.mechanism in ("LLNL", "JetSurf") else "NUIG",
+                      variant=variant, energy_on=cfg.energy_on)
+
+    time_tag = f"{cfg.mechanism}_4D_time_{'on' if cfg.energy_on else 'off'}"
+    time_model = dep.ProfileModel(
+        params=artifacts.load_mlp_params_npz(f"{time_mlp_dir}/weights_{time_tag}.npz"),
+        out_min=artifacts.load_minmax_scaler(f"{time_mlp_dir}/min_max_{time_tag}.pkl")[0],
+        out_max=artifacts.load_minmax_scaler(f"{time_mlp_dir}/min_max_{time_tag}.pkl")[1],
+        input_scale=mlp_mod.INPUT_SCALE_4D,
+    )
+    temp_model = None
+    if cfg.energy_on:
+        tdir = temp_mlp_dir or f"{cfg.out_root}/temp_mlp"
+        ttag = f"{cfg.mechanism}_2D"
+        temp_model = dep.ProfileModel(
+            params=artifacts.load_mlp_params_npz(f"{tdir}/weights_{ttag}.npz"),
+            out_min=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[0],
+            out_max=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[1],
+            input_scale=mlp_mod.INPUT_SCALE_2D,
+        )
+    model = dep.SurrogateModel(
+        w_in=w_in, w_b=w_b, w_out=w_out, cfg=ccfg,
+        time_model=time_model, temp_model=temp_model,
+    )
+
+    if cases is None:
+        cases = lhs.read_cases_csv(cfg.cases_csv)
+    cases = np.atleast_2d(cases)
+    if cases.shape[1] == 2:
+        cases = np.concatenate([cases, np.tile([1.0, 2.5], (len(cases), 1))], axis=1)
+    T0 = jnp.asarray(cases[:, 0])
+    P0 = jnp.asarray(cases[:, 1] * 1e5)
+    L = jnp.asarray(cases[:, 2])
+    u0v = jnp.asarray(cases[:, 3])
+
+    # reference truth from the dataset dir
+    paths = _dataset_paths(cfg)[: len(cases)]
+    truth = [artifacts.read_trajectory_txt(p) for p in paths]
+
+    species7 = ["H2", "CH4", "C2H4", "C2H6", "C3H6", "C4H8-1", "NC6H14"]
+    conds = np.stack([cases[:, 0], cases[:, 1] * 1e5, cases[:, 2], cases[:, 3]], 1)
+
+    if not cfg.energy_on:
+        tgrid, species = model.predict_eoff(T0, P0, L, u0v)
+        Y_pred = np.asarray(species)
+        Y_true = np.stack([t["C"].T[:7] * 1e3 for t in truth])
+    else:
+        tgrid_f, Tprof_f, species_f = model.predict_eon_full(T0, P0)
+        Y_pred_list, Y_true_list = [], []
+        for i in range(len(cases)):
+            t_tr, T_tr, sp_tr = model.trim_eon_case(
+                tgrid_f[i], species_f[i], Tprof_f[i],
+                float(T0[i]), float(P0[i]), float(L[i]), float(u0v[i]),
+            )
+            ref = dep.resample_nearest(truth[i]["t"], truth[i]["C"].T[:7] * 1e3, t_tr)
+            Y_pred_list.append(sp_tr)
+            Y_true_list.append(ref)
+        # ragged: compute metrics per case below via common code path
+        import pandas as pd
+
+        from ..evalsuite.metrics import METRIC_COLUMNS, trajectory_metrics
+
+        rows = []
+        for c, (yp, yt) in enumerate(zip(Y_pred_list, Y_true_list)):
+            for s, name in enumerate(species7):
+                m = trajectory_metrics(yt[s], yp[s])
+                rows.append([c + 1, name, *conds[c]] + [m[k] for k in METRIC_COLUMNS[6:]])
+        df = pd.DataFrame(rows, columns=METRIC_COLUMNS)
+        out_csv = f"{cfg.out_root}/metrics_{cfg.mechanism}_{cfg.mode}.csv"
+        df.to_csv(out_csv, index=False, float_format="%.6e")
+        print(f"[deploy] metrics -> {out_csv}")
+        return out_csv
+
+    df = metric_table(Y_true, Y_pred, species7, conds)
+    out_csv = f"{cfg.out_root}/metrics_{cfg.mechanism}_{cfg.mode}.csv"
+    df.to_csv(out_csv, index=False, float_format="%.6e")
+    print(f"[deploy] metrics -> {out_csv}")
+    return out_csv

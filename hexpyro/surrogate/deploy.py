@@ -67,8 +67,9 @@ class ProfileModel:
     input_scale: np.ndarray  # (2, d)
 
     def predict(self, x_raw):
-        """x_raw (B, d) -> denormalized (B, 800)."""
-        model = mlp_mod.ProfileMLP()
+        """x_raw (B, d) -> denormalized (B, n_out); n_out inferred from params."""
+        n_out = np.asarray(self.params["fc4"]["bias"]).shape[0]
+        model = mlp_mod.ProfileMLP(output_node=n_out)
         xn = mlp_mod.normalize_inputs(jnp.asarray(x_raw, jnp.float32), self.input_scale)
         out = model.apply({"params": self.params}, xn)
         return out * (self.out_max - self.out_min) + self.out_min
