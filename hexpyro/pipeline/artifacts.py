@@ -23,6 +23,8 @@ import pickle
 
 import numpy as np
 
+from . import native
+
 
 # ---------------------------------------------------------------------------
 # trajectory txt
@@ -45,7 +47,9 @@ def write_trajectory_txt(path: str, t, T, P, C9, u, z, rho=None) -> None:
     cols += [np.asarray(u), np.asarray(z)]
     if rho is not None:
         cols.append(np.asarray(rho))
-    np.savetxt(path, np.stack(cols, axis=1))
+    mat = np.stack(cols, axis=1)
+    if not native.write_matrix(path, mat):  # C++ fast path, numpy fallback
+        np.savetxt(path, mat)
 
 
 def read_trajectory_txt(path: str, ns: int = 9):
@@ -54,7 +58,8 @@ def read_trajectory_txt(path: str, ns: int = 9):
     Mirrors RawDataDataset.__getitem__ (Eoff_surrogate_model_training.py:83-92):
     columns [t, T, P, C1..Cns, u, z, (rho)].
     """
-    raw = np.loadtxt(path).T
+    raw = native.read_matrix(path)
+    raw = (np.loadtxt(path) if raw is None else raw).T
     out = {
         "t": raw[0],
         "T": raw[1],

@@ -25,11 +25,16 @@ def batched_solve(A, b, refine_iters: int = 2):
 
 
 def _mixed_precision_solve(A, b, refine_iters: int):
-    """f32 LU + f64 iterative refinement with row equilibration."""
-    # row equilibration keeps the f32 factorization sane for the stiff Newton
-    # matrices (row scales span ~1e12 between trace radicals and bulk species)
+    """f32 LU + f64 iterative refinement with two-sided equilibration.
+
+    Row scales span ~1e12 between trace radicals and bulk species, and column
+    scales (d/dY of trace species) vary just as widely -- equilibrating both
+    keeps the f32 factorization's condition number within refinement reach.
+    """
     r = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=2), 1e-30)  # (B, n)
     As = A * r[:, :, None]
+    c = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=1), 1e-30)  # (B, n)
+    As = As * c[:, None, :]
     bs = b * r
 
     lu, piv = jax.scipy.linalg.lu_factor(As.astype(jnp.float32))
@@ -39,8 +44,8 @@ def _mixed_precision_solve(A, b, refine_iters: int):
             A.dtype
         )
 
-    x = solve32(bs)
+    y = solve32(bs)
     for _ in range(refine_iters):
-        resid = bs - jnp.einsum("bij,bj->bi", As, x)
-        x = x + solve32(resid)
-    return x
+        resid = bs - jnp.einsum("bij,bj->bi", As, y)
+        y = y + solve32(resid)
+    return y * c
