@@ -48,12 +48,14 @@ from ..thermo import nasa7
 
 @dataclasses.dataclass(frozen=True)
 class SteadyOptions:
-    """Defaults leave ~30x headroom above the TPU f64-emulation noise floor
-    (f32-pair arithmetic, eps ~ 2e-15) while keeping per-segment Y accuracy
-    ~1e-7 relative -- far inside the 1%-of-profile target."""
+    """Per-segment Y accuracy ~1e-6 relative (1e-4 of the 1%-of-profile
+    target even after 800-segment accumulation). Tighter tolerances are
+    unreachable on TPU where emulated f64 puts a noise floor of ~1e2-1e3
+    weighted-residual units under the Newton iteration; on CPU the golden
+    Cantera anchors (tests/test_golden_eon.py) hold at this setting."""
 
-    rtol: float = 3e-8
-    atol_Y: float = 3e-13
+    rtol: float = 1e-6
+    atol_Y: float = 1e-11
     max_iters: int = 120
     dtau0_frac: float = 0.1  # initial pseudo-step as a fraction of t_res
     dtau_growth: float = 15.0  # multiplicative growth on accepted steps
