@@ -62,6 +62,8 @@ class SteadyOptions:
     dtau_shrink: float = 0.25  # backoff on rejected (diverging) steps
     accept_factor: float = 2.0  # tolerate mild transient residual growth
     dtau_max_frac: float = 1e8  # effectively pure Newton once large
+    jac_refresh_every: int = 2  # modified Newton: rebuild J every k iterations
+    dtau_carry_max_frac: float = 1e2  # cap on warm-started dtau (recoverable)
     T_min: float = 250.0
     T_max: float = 3500.0
 
@@ -115,12 +117,23 @@ def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays):
 
 
 def solve_steady_eoff(
-    Y_guess, T0, P0, Y_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions
+    Y_guess, T0, P0, Y_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions,
+    dtau0=None,
 ):
     """Batched steady state of isothermal CSTR segments.
 
-    Args: Y_guess/Y_in (B, ns); T0/P0/mdot_over_V (B,).
-    Returns (Y_star (B, ns), info dict with iterations + residual norms).
+    Args: Y_guess/Y_in (B, ns); T0/P0/mdot_over_V (B,). `dtau0` optionally
+    warm-starts the pseudo-timestep controller (pass the previous segment's
+    final dtau via info["dtau"] -- saves the 3-4 iteration ladder climb on
+    every segment of a chain).
+
+    Modified Newton: the Jacobian is rebuilt only every `opts.jac_refresh_every`
+    iterations (the wdot-Jacobian contraction dominates iteration cost); the
+    damped system (I/dtau - J) is refactorized each iteration with the cached J
+    since the LU itself is cheap. Convergence is always judged on the exact
+    residual.
+
+    Returns (Y_star (B, ns), info dict with iterations/resid/converged/dtau).
     """
     dtype = Y_guess.dtype
     B, ns = Y_guess.shape
@@ -135,15 +148,24 @@ def solve_steady_eoff(
         return jnp.max(jnp.abs(g) / (rate * scale), axis=1)
 
     def cond(state):
-        Y, dtau, gnorm, it, done = state
+        Y, g, J, dtau, gnorm, it, done = state
         return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
 
-    def body(state):
-        Y, dtau, gnorm_old, it, done = state
+    def fresh_jacobian(Y):
         J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr)
+        return J
+
+    def body(state):
+        # g is carried: the rejected branch keeps Y (same residual) and the
+        # accepted branch reuses last iteration's g_new -- one wdot per iter
+        Y, g, J, dtau, gnorm_old, it, done = state
+        J = jax.lax.cond(
+            it % opts.jac_refresh_every == 0,
+            fresh_jacobian,
+            lambda Y: J,
+            Y,
+        )
         diagJ = jnp.diagonal(J, axis1=1, axis2=2)
-        inv_rho = 1.0 / rho
-        g = (mdot_over_V * inv_rho)[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
         A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
         delta = batched_solve(A, g)
         Y_new = jnp.clip(Y + delta, 0.0, 1.0)
@@ -158,31 +180,40 @@ def solve_steady_eoff(
         newly_done = jnp.logical_and(accept, gnorm_new <= 1.0)
         advance = jnp.logical_and(accept, ~done)
         Y_out = jnp.where(advance[:, None], Y_new, Y)
+        g_out = jnp.where(advance[:, None], g_new, g)
         return (
             Y_out,
+            g_out,
+            J,
             jnp.where(done, dtau, dtau_new),
             jnp.where(advance, gnorm_new, gnorm_old),
             it + 1,
             jnp.logical_or(done, newly_done),
         )
 
-    inf = jnp.full((B,), jnp.inf, dtype)
+    if dtau0 is None:
+        dtau0 = jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res
+    g0 = _rhs_eoff(Y_guess, T0, P0, Y_in, mdot_over_V, arr)
     state0 = (
         Y_guess,
-        jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res,
-        inf,
+        g0,
+        jnp.zeros((B, ns, ns), dtype),
+        jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
+        jnp.full((B,), jnp.inf, dtype),
         jnp.zeros((), jnp.int32),
         jnp.zeros((B,), bool),
     )
-    Y, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
-    return Y, {"iterations": iters, "resid": gnorm, "converged": done}
+    Y, g, J, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
+    return Y, {"iterations": iters, "resid": gnorm, "converged": done, "dtau": dtau}
 
 
 def solve_steady_eon(
-    Y_guess, T_guess, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions
+    Y_guess, T_guess, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions,
+    dtau0=None,
 ):
     """Batched steady state of adiabatic CSTR segments (unknowns Y and T).
 
+    Modified-Newton + warm-start semantics as in solve_steady_eoff.
     Returns (Y_star, T_star, info).
     """
     dtype = Y_guess.dtype
@@ -233,12 +264,17 @@ def solve_steady_eon(
         return J, g
 
     def cond(state):
-        Y, T, dtau, gnorm, it, done = state
+        Y, T, g, J, dtau, gnorm, it, done = state
         return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
 
     def body(state):
-        Y, T, dtau, gnorm_old, it, done = state
-        J, g = build_system(Y, T)
+        Y, T, g, J, dtau, gnorm_old, it, done = state
+        J = jax.lax.cond(
+            it % opts.jac_refresh_every == 0,
+            lambda args: build_system(*args)[0],
+            lambda args: J,
+            (Y, T),
+        )
         diagJ = jnp.diagonal(J, axis1=1, axis2=2)[:, :ns]
         # scale the T slot so the damping matrix is well conditioned: the T
         # unknown is O(1000 K) while Y is O(1); work in T/T_scale
@@ -251,6 +287,7 @@ def solve_steady_eon(
         Y_new = Y_new / jnp.sum(Y_new, axis=1, keepdims=True)
         T_new = jnp.clip(T + delta[:, ns], opts.T_min, opts.T_max)
         gY_new, gT_new = rhs(Y_new, T_new)
+        g_new = jnp.concatenate([gY_new, gT_new[:, None]], axis=1)
         gnorm_new = resid_norm(gY_new, gT_new, Y_new, T_new, diagJ)
         accept = gnorm_new <= gnorm_old * opts.accept_factor
         dtau_new = jnp.where(accept, dtau * opts.dtau_growth, dtau * opts.dtau_shrink)
@@ -260,19 +297,27 @@ def solve_steady_eon(
         return (
             jnp.where(advance[:, None], Y_new, Y),
             jnp.where(advance, T_new, T),
+            jnp.where(advance[:, None], g_new, g),
+            J,
             jnp.where(done, dtau, dtau_new),
             jnp.where(advance, gnorm_new, gnorm_old),
             it + 1,
             jnp.logical_or(done, newly_done),
         )
 
+    if dtau0 is None:
+        dtau0 = jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res
+    gY0, gT0 = rhs(Y_guess, T_guess)
+    g0 = jnp.concatenate([gY0, gT0[:, None]], axis=1)
     state0 = (
         Y_guess,
         T_guess,
-        jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res,
+        g0,
+        jnp.zeros((B, n, n), dtype),
+        jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
         jnp.full((B,), jnp.inf, dtype),
         jnp.zeros((), jnp.int32),
         jnp.zeros((B,), bool),
     )
-    Y, T, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
-    return Y, T, {"iterations": iters, "resid": gnorm, "converged": done}
+    Y, T, g, J, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
+    return Y, T, {"iterations": iters, "resid": gnorm, "converged": done, "dtau": dtau}

@@ -108,23 +108,30 @@ def simulate_pfr(
     mdot_over_V = rho0 * u0 / dz
     mdot_over_A = rho0 * u0
 
+    # characteristic residence scale for the warm-start dtau cap
+    t_res0 = rho0 / mdot_over_V
+
     def segment(carry, _):
-        Y_prev, T_prev = carry
+        Y_prev, T_prev, dtau_prev = carry
+        dtau0 = jnp.minimum(dtau_prev, opts.dtau_carry_max_frac * t_res0)
         if energy_on:
             h_in = nasa7.enthalpy_mass(T_prev, Y_prev, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
             Y, T, info = solve_steady_eon(
-                Y_prev, T_prev, P0, Y_prev, h_in, mdot_over_V, arr, opts
+                Y_prev, T_prev, P0, Y_prev, h_in, mdot_over_V, arr, opts, dtau0=dtau0
             )
         else:
-            Y, info = solve_steady_eoff(Y_prev, T0, P0, Y_prev, mdot_over_V, arr, opts)
+            Y, info = solve_steady_eoff(
+                Y_prev, T0, P0, Y_prev, mdot_over_V, arr, opts, dtau0=dtau0
+            )
             T = T_prev
         rho = nasa7.density(T, P0, Y, arr.mw)
         t_r = rho / mdot_over_V  # rho V / mdot
         u = mdot_over_A / rho
-        return (Y, T), (Y, T, rho, t_r, u, info["converged"])
+        return (Y, T, info["dtau"]), (Y, T, rho, t_r, u, info["converged"])
 
-    (Yf, Tf), (Ys, Ts, rhos, trs, us, convs) = jax.lax.scan(
-        segment, (Y_feed, T0), None, length=n_steps
+    dtau_init = jnp.full((B,), opts.dtau0_frac, dtype) * t_res0
+    (Yf, Tf, _), (Ys, Ts, rhos, trs, us, convs) = jax.lax.scan(
+        segment, (Y_feed, T0, dtau_init), None, length=n_steps
     )
     # stack the inlet state as grid point 0
     Y_all = jnp.concatenate([Y_feed[None], Ys], axis=0)  # (n+1, B, ns)
