@@ -56,6 +56,9 @@ def main(argv=None) -> int:
         "train-temp-mlp",
         "train-time-mlp",
         "deploy",
+        "eval-temp-mlp",
+        "eval-time-mlp",
+        "validate",
     ):
         sp = sub.add_parser(name)
         _add_common(sp)
@@ -65,6 +68,15 @@ def main(argv=None) -> int:
             sp.add_argument("--crnn-npz", dest="crnn_npz", required=True)
             sp.add_argument("--time-mlp-dir", dest="time_mlp_dir", required=True)
             sp.add_argument("--temp-mlp-dir", dest="temp_mlp_dir")
+        if name.startswith("eval-"):
+            sp.add_argument("--mlp-dir", dest="mlp_dir")
+        if name == "validate":
+            sp.add_argument("--crnn-npz-a", required=True)
+            sp.add_argument("--crnn-npz-b", required=True)
+            sp.add_argument("--time-mlp-dir-a", required=True)
+            sp.add_argument("--time-mlp-dir-b", required=True)
+            sp.add_argument("--mech-a", required=True)
+            sp.add_argument("--mech-b", required=True)
 
     args = parser.parse_args(argv)
     cfg = _config_from_args(args)
@@ -86,6 +98,15 @@ def main(argv=None) -> int:
     elif args.cmd == "deploy":
         stages.stage_deploy(
             cfg, args.crnn_npz, args.time_mlp_dir, temp_mlp_dir=args.temp_mlp_dir
+        )
+    elif args.cmd == "eval-temp-mlp":
+        stages.stage_eval_mlp(cfg, "temp", mlp_dir=args.mlp_dir)
+    elif args.cmd == "eval-time-mlp":
+        stages.stage_eval_mlp(cfg, "time", mlp_dir=args.mlp_dir)
+    elif args.cmd == "validate":
+        stages.stage_validate(
+            cfg, args.crnn_npz_a, args.crnn_npz_b,
+            args.time_mlp_dir_a, args.time_mlp_dir_b, args.mech_a, args.mech_b,
         )
     return 0
 

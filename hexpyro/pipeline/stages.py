@@ -329,3 +329,139 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
     df.to_csv(out_csv, index=False, float_format="%.6e")
     print(f"[deploy] metrics -> {out_csv}")
     return out_csv
+
+
+def stage_eval_mlp(cfg: PipelineConfig, which: str, mlp_dir: str | None = None,
+                   fig_dir: str | None = None):
+    """Visual evaluation of a trained profile MLP on the configured dataset.
+
+    Mirrors TEMP_PRED_MODEL_TRAINING/temp_visual_eval.py and
+    TIME_PRED_MODEL_TRAINING/time_visual_eval.py: parity plot with R^2,
+    residual plot, per-case RMSE/MAE/RelErr histograms.
+    """
+    _jax_setup(cfg)
+    import jax.numpy as jnp
+
+    from ..evalsuite import plots
+    from ..evalsuite.metrics import mape_accuracy, per_case_stats, r2_score
+    from ..surrogate import deploy as dep, mlp as mlp_mod
+
+    mlp_dir = mlp_dir or f"{cfg.out_root}/{which}_mlp"
+    if which == "temp":
+        tag = f"{cfg.mechanism}_2D"
+        scale = mlp_mod.INPUT_SCALE_2D
+    else:
+        tag = f"{cfg.mechanism}_4D_time_{'on' if cfg.energy_on else 'off'}"
+        scale = mlp_mod.INPUT_SCALE_4D
+    model = dep.ProfileModel(
+        params=artifacts.load_mlp_params_npz(f"{mlp_dir}/weights_{tag}.npz"),
+        out_min=artifacts.load_minmax_scaler(f"{mlp_dir}/min_max_{tag}.pkl")[0],
+        out_max=artifacts.load_minmax_scaler(f"{mlp_dir}/min_max_{tag}.pkl")[1],
+        input_scale=scale,
+    )
+
+    cases = lhs.read_cases_csv(cfg.cases_csv)
+    truth = []
+    for p in _dataset_paths(cfg):
+        d = artifacts.read_trajectory_txt(p)
+        truth.append(d["T"][1:] if which == "temp" else d["t"][1:])
+    truth = np.stack(truth)
+    if which == "temp":
+        x = cases[:, :2]
+    elif cases.shape[1] == 4:
+        x = cases[:, :4]
+    else:
+        x = np.concatenate([cases[:, :2], np.tile([1.0, 2.5], (len(cases), 1))], 1)
+    pred = np.asarray(model.predict(jnp.asarray(x)))
+
+    fig_dir = fig_dir or f"{cfg.out_root}/figures"
+    os.makedirs(fig_dir, exist_ok=True)
+    plots.parity_plot(truth, pred).savefig(f"{fig_dir}/{which}_mlp_parity_{tag}.png", dpi=120)
+    plots.residual_plot(truth, pred).savefig(f"{fig_dir}/{which}_mlp_residual_{tag}.png", dpi=120)
+    plots.error_histograms(truth, pred).savefig(f"{fig_dir}/{which}_mlp_hist_{tag}.png", dpi=120)
+    stats = per_case_stats(truth, pred)
+    r2 = r2_score(truth, pred)
+    acc = float(np.mean(mape_accuracy(truth, pred)))
+    print(f"[eval-{which}-mlp] R2 {r2:.6f} acc {acc:.3f}% "
+          f"rmse {stats['rmse'].mean():.4g}+-{stats['rmse'].std():.3g} -> {fig_dir}")
+    return {"r2": r2, "accuracy_pct": acc, **{k: v.mean() for k, v in stats.items()}}
+
+
+def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
+                   time_mlp_dir_a: str, time_mlp_dir_b: str,
+                   mech_a: str, mech_b: str,
+                   temp_mlp_dirs=(None, None), fig_path: str | None = None):
+    """Two-model comparison figure on three representative conditions.
+
+    Mirrors SURROGATE_MODEL/surrogate_model_{Eoff,Eon}_validation_plot.py:
+    pick conditions at the sorted-T quartile/median/near-max of the sweep
+    (:367-373), run both trained surrogates, and draw the 3x3 species grid
+    (solid vs dashed per model, color per condition).
+    """
+    _jax_setup(cfg)
+    import jax.numpy as jnp
+
+    from ..evalsuite import plots
+    from ..surrogate import deploy as dep, mlp as mlp_mod
+    from ..surrogate.crnn import config_for
+
+    cases = np.atleast_2d(lhs.read_cases_csv(cfg.cases_csv))
+    order = np.argsort(cases[:, 0])
+    pick = [order[len(order) // 4], order[len(order) // 2], order[-2]]
+    sel = cases[pick]
+
+    def build(npz, tdir, mech_name, temp_dir):
+        w_in, w_b, w_out = artifacts.load_crnn_parameters(npz)
+        variant = "wide" if cfg.wide else "default"
+        key = mech_name if mech_name in ("LLNL", "JetSurf") else "NUIG"
+        ccfg = config_for(key, variant=variant, energy_on=cfg.energy_on)
+        ttag = f"{mech_name}_4D_time_{'on' if cfg.energy_on else 'off'}"
+        time_model = dep.ProfileModel(
+            params=artifacts.load_mlp_params_npz(f"{tdir}/weights_{ttag}.npz"),
+            out_min=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[0],
+            out_max=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[1],
+            input_scale=mlp_mod.INPUT_SCALE_4D,
+        )
+        temp_model = None
+        if cfg.energy_on and temp_dir:
+            t2 = f"{mech_name}_2D"
+            temp_model = dep.ProfileModel(
+                params=artifacts.load_mlp_params_npz(f"{temp_dir}/weights_{t2}.npz"),
+                out_min=artifacts.load_minmax_scaler(f"{temp_dir}/min_max_{t2}.pkl")[0],
+                out_max=artifacts.load_minmax_scaler(f"{temp_dir}/min_max_{t2}.pkl")[1],
+                input_scale=mlp_mod.INPUT_SCALE_2D,
+            )
+        return dep.SurrogateModel(w_in=w_in, w_b=w_b, w_out=w_out, cfg=ccfg,
+                                  time_model=time_model, temp_model=temp_model)
+
+    model_a = build(crnn_npz_a, time_mlp_dir_a, mech_a, temp_mlp_dirs[0])
+    model_b = build(crnn_npz_b, time_mlp_dir_b, mech_b, temp_mlp_dirs[1])
+
+    T0 = jnp.asarray(sel[:, 0]); P0 = jnp.asarray(sel[:, 1] * 1e5)
+    if sel.shape[1] >= 4:
+        L = jnp.asarray(sel[:, 2]); u0 = jnp.asarray(sel[:, 3])
+    else:
+        L = jnp.full((3,), 1.0); u0 = jnp.full((3,), 2.5)
+
+    def run(model):
+        if cfg.energy_on:
+            tg, Tp, sp = model.predict_eon_full(T0, P0)
+            ts, ys = [], []
+            for i in range(3):
+                t_tr, _, s_tr = model.trim_eon_case(
+                    tg[i], sp[i], Tp[i], float(T0[i]), float(P0[i]), float(L[i]), float(u0[i]))
+                ts.append(t_tr); ys.append(s_tr)
+            return ts, ys
+        tg, sp = model.predict_eoff(T0, P0, L, u0)
+        return [np.asarray(tg[i]) for i in range(3)], [np.asarray(sp[i]) for i in range(3)]
+
+    ts_a, ys_a = run(model_a)
+    ts_b, ys_b = run(model_b)
+    conds = [(float(T0[i]), float(P0[i])) for i in range(3)]
+    fig = plots.plot_two_model_comparison(ts_a, ys_a, ts_b, ys_b, conds,
+                                          model_names=(mech_a, mech_b))
+    fig_path = fig_path or f"{cfg.out_root}/figures/two_model_{mech_a}_vs_{mech_b}_{cfg.mode}.png"
+    os.makedirs(os.path.dirname(fig_path), exist_ok=True)
+    fig.savefig(fig_path, dpi=120)
+    print(f"[validate] -> {fig_path}")
+    return fig_path
