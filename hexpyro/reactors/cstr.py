@@ -64,6 +64,12 @@ class SteadyOptions:
     dtau_max_frac: float = 1e8  # effectively pure Newton once large
     jac_refresh_every: int = 2  # modified Newton: rebuild J every k iterations
     dtau_carry_max_frac: float = 1e2  # cap on warm-started dtau (recoverable)
+    # stall-accept: on TPU-emulated f64 the residual has a noise floor that can
+    # sit above rtol for a few lanes; accept a lane whose best residual stopped
+    # improving for `stall_iters` iterations at <= `stall_accept` tolerance
+    # units (Y error <= stall_accept * (rtol|Y| + atol) ~ 1e-4 relative)
+    stall_iters: int = 10
+    stall_accept: float = 100.0
     T_min: float = 250.0
     T_max: float = 3500.0
 
@@ -148,7 +154,7 @@ def solve_steady_eoff(
         return jnp.max(jnp.abs(g) / (rate * scale), axis=1)
 
     def cond(state):
-        Y, g, J, dtau, gnorm, it, done = state
+        Y, g, J, dtau, gnorm, best, bad, it, done = state
         return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
 
     def fresh_jacobian(Y):
@@ -158,7 +164,7 @@ def solve_steady_eoff(
     def body(state):
         # g is carried: the rejected branch keeps Y (same residual) and the
         # accepted branch reuses last iteration's g_new -- one wdot per iter
-        Y, g, J, dtau, gnorm_old, it, done = state
+        Y, g, J, dtau, gnorm_old, best, bad, it, done = state
         J = jax.lax.cond(
             it % opts.jac_refresh_every == 0,
             fresh_jacobian,
@@ -177,7 +183,14 @@ def solve_steady_eoff(
         accept = gnorm_new <= gnorm_old * opts.accept_factor
         dtau_new = jnp.where(accept, dtau * opts.dtau_growth, dtau * opts.dtau_shrink)
         dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
-        newly_done = jnp.logical_and(accept, gnorm_new <= 1.0)
+        gnorm_next = jnp.where(accept, gnorm_new, gnorm_old)
+        improved = gnorm_next < best * 0.7
+        best_new = jnp.minimum(best, gnorm_next)
+        bad_new = jnp.where(improved, 0, bad + 1)
+        stalled = jnp.logical_and(bad_new >= opts.stall_iters, best_new <= opts.stall_accept)
+        newly_done = jnp.logical_or(
+            jnp.logical_and(accept, gnorm_new <= 1.0), stalled
+        )
         advance = jnp.logical_and(accept, ~done)
         Y_out = jnp.where(advance[:, None], Y_new, Y)
         g_out = jnp.where(advance[:, None], g_new, g)
@@ -187,6 +200,8 @@ def solve_steady_eoff(
             J,
             jnp.where(done, dtau, dtau_new),
             jnp.where(advance, gnorm_new, gnorm_old),
+            jnp.where(done, best, best_new),
+            jnp.where(done, bad, bad_new),
             it + 1,
             jnp.logical_or(done, newly_done),
         )
@@ -200,10 +215,12 @@ def solve_steady_eoff(
         jnp.zeros((B, ns, ns), dtype),
         jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
         jnp.full((B,), jnp.inf, dtype),
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.zeros((B,), jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((B,), bool),
     )
-    Y, g, J, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
+    Y, g, J, dtau, gnorm, best, bad, iters, done = jax.lax.while_loop(cond, body, state0)
     return Y, {"iterations": iters, "resid": gnorm, "converged": done, "dtau": dtau}
 
 
@@ -264,11 +281,11 @@ def solve_steady_eon(
         return J, g
 
     def cond(state):
-        Y, T, g, J, dtau, gnorm, it, done = state
+        Y, T, g, J, dtau, gnorm, best, bad, it, done = state
         return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
 
     def body(state):
-        Y, T, g, J, dtau, gnorm_old, it, done = state
+        Y, T, g, J, dtau, gnorm_old, best, bad, it, done = state
         J = jax.lax.cond(
             it % opts.jac_refresh_every == 0,
             lambda args: build_system(*args)[0],
@@ -292,7 +309,14 @@ def solve_steady_eon(
         accept = gnorm_new <= gnorm_old * opts.accept_factor
         dtau_new = jnp.where(accept, dtau * opts.dtau_growth, dtau * opts.dtau_shrink)
         dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
-        newly_done = jnp.logical_and(accept, gnorm_new <= 1.0)
+        gnorm_next = jnp.where(accept, gnorm_new, gnorm_old)
+        improved = gnorm_next < best * 0.7
+        best_new = jnp.minimum(best, gnorm_next)
+        bad_new = jnp.where(improved, 0, bad + 1)
+        stalled = jnp.logical_and(bad_new >= opts.stall_iters, best_new <= opts.stall_accept)
+        newly_done = jnp.logical_or(
+            jnp.logical_and(accept, gnorm_new <= 1.0), stalled
+        )
         advance = jnp.logical_and(accept, ~done)
         return (
             jnp.where(advance[:, None], Y_new, Y),
@@ -301,6 +325,8 @@ def solve_steady_eon(
             J,
             jnp.where(done, dtau, dtau_new),
             jnp.where(advance, gnorm_new, gnorm_old),
+            jnp.where(done, best, best_new),
+            jnp.where(done, bad, bad_new),
             it + 1,
             jnp.logical_or(done, newly_done),
         )
@@ -316,8 +342,10 @@ def solve_steady_eon(
         jnp.zeros((B, n, n), dtype),
         jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
         jnp.full((B,), jnp.inf, dtype),
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.zeros((B,), jnp.int32),
         jnp.zeros((), jnp.int32),
         jnp.zeros((B,), bool),
     )
-    Y, T, g, J, dtau, gnorm, iters, done = jax.lax.while_loop(cond, body, state0)
+    Y, T, g, J, dtau, gnorm, best, bad, iters, done = jax.lax.while_loop(cond, body, state0)
     return Y, T, {"iterations": iters, "resid": gnorm, "converged": done, "dtau": dtau}
