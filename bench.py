@@ -52,7 +52,7 @@ def main() -> None:
     n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "100"))
     dtype = (
         jnp.float32
-        if os.environ.get("HEXPYRO_BENCH_DTYPE", "f64") == "f32"
+        if os.environ.get("HEXPYRO_BENCH_DTYPE", "f32") == "f32"
         else jnp.float64
     )
 

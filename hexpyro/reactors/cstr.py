@@ -74,6 +74,21 @@ class SteadyOptions:
     T_max: float = 3500.0
 
 
+def default_steady_options(dtype) -> "SteadyOptions":
+    """dtype-appropriate solver tolerances.
+
+    f32 end-to-end is the validated production path (species profiles agree
+    with f64 to ~2e-5 relative-to-peak and the golden Cantera outlet anchor to
+    0.035 K over 800 segments -- see VALIDATION.md); its tolerances sit above
+    the f32 residual noise floor.
+    """
+    import jax.numpy as jnp
+
+    if dtype == jnp.float32:
+        return SteadyOptions(rtol=1e-4, atol_Y=1e-9, stall_accept=30.0, stall_iters=8)
+    return SteadyOptions()
+
+
 def _rhs_eoff(Y, T0, P0, Y_in, mdot_over_V, arr: MechanismArrays):
     """Pseudo-transient RHS dY/dt for the isothermal (Eoff) segment. (B, ns)."""
     rho = nasa7.density(T0, P0, Y, arr.mw)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..mechanism.arrays import MechanismArrays
 from ..thermo import nasa7
-from .cstr import SteadyOptions, solve_steady_eoff, solve_steady_eon
+from .cstr import SteadyOptions, default_steady_options, solve_steady_eoff, solve_steady_eon
 
 # Reference reactor geometry defaults (simul_data_gene_fix_chain_2D.py:40-44)
 DEFAULT_LENGTH = 1.0  # [m]
@@ -87,7 +87,7 @@ def simulate_pfr(
 
     Returns PFRTrajectory. Fully jittable; wrap in jax.jit for production use.
     """
-    opts = opts or SteadyOptions()
+    opts = opts or default_steady_options(arr.dtype)
     dtype = arr.dtype
     T0 = jnp.asarray(T0, dtype)
     P0 = jnp.asarray(P0, dtype)
