@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from ..kinetics.wdot import wdot, wdot_and_jacobian
 from ..mechanism.arrays import MechanismArrays
-from ..solvers.linalg import batched_solve
+from ..solvers.linalg import Factorization, factorize, solve_factored
 from ..thermo import nasa7
 
 
@@ -72,6 +72,7 @@ class SteadyOptions:
     stall_accept: float = 100.0
     T_min: float = 250.0
     T_max: float = 3500.0
+    dT_max: float = 150.0  # per-Newton-step temperature trust region [K]
 
 
 def default_steady_options(dtype) -> "SteadyOptions":
@@ -145,14 +146,13 @@ def solve_steady_eoff(
 
     Args: Y_guess/Y_in (B, ns); T0/P0/mdot_over_V (B,). `dtau0` optionally
     warm-starts the pseudo-timestep controller (pass the previous segment's
-    final dtau via info["dtau"] -- saves the 3-4 iteration ladder climb on
-    every segment of a chain).
+    final dtau via info["dtau"]).
 
-    Modified Newton: the Jacobian is rebuilt only every `opts.jac_refresh_every`
-    iterations (the wdot-Jacobian contraction dominates iteration cost); the
-    damped system (I/dtau - J) is refactorized each iteration with the cached J
-    since the LU itself is cheap. Convergence is always judged on the exact
-    residual.
+    Modified Newton with a CACHED FACTORIZATION: the Jacobian + LU of
+    (I/dtau - J) are rebuilt only every `opts.jac_refresh_every` iterations or
+    after a rejected step (the LU is the dominant kernel on TPU); in between,
+    iterations reuse the factorization -- dtau growth takes effect at the next
+    refresh. Convergence is always judged on the exact residual.
 
     Returns (Y_star (B, ns), info dict with iterations/resid/converged/dtau).
     """
@@ -168,75 +168,98 @@ def solve_steady_eoff(
         scale = opts.rtol * jnp.abs(Y) + opts.atol_Y
         return jnp.max(jnp.abs(g) / (rate * scale), axis=1)
 
-    def cond(state):
-        Y, g, J, dtau, gnorm, best, bad, it, done = state
-        return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
-
-    def fresh_jacobian(Y):
+    def build_fac(Y, dtau):
         J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr)
-        return J
+        A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
+        return factorize(A), jnp.diagonal(J, axis1=1, axis2=2)
+
+    def cond(state):
+        return jnp.logical_and(
+            state["it"] < opts.max_iters, ~jnp.all(state["done"])
+        )
 
     def body(state):
-        # g is carried: the rejected branch keeps Y (same residual) and the
-        # accepted branch reuses last iteration's g_new -- one wdot per iter
-        Y, g, J, dtau, gnorm_old, best, bad, it, done = state
-        J = jax.lax.cond(
-            it % opts.jac_refresh_every == 0,
-            fresh_jacobian,
-            lambda Y: J,
-            Y,
+        refresh = jnp.logical_or(
+            state["it"] % opts.jac_refresh_every == 0, state["rejected"]
         )
-        diagJ = jnp.diagonal(J, axis1=1, axis2=2)
-        A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
-        delta = batched_solve(A, g)
-        Y_new = jnp.clip(Y + delta, 0.0, 1.0)
+        fac, diagJ = jax.lax.cond(
+            refresh,
+            lambda args: build_fac(*args),
+            lambda args: (state["fac"], state["diagJ"]),
+            (state["Y"], state["dtau"]),
+        )
+        delta = solve_factored(fac, state["g"])
+        Y_new = jnp.clip(state["Y"] + delta, 0.0, 1.0)
         Y_new = Y_new / jnp.sum(Y_new, axis=1, keepdims=True)
         g_new = _rhs_eoff(Y_new, T0, P0, Y_in, mdot_over_V, arr)
         gnorm_new = resid_norm(g_new, Y_new, diagJ)
-        # accept/reject pseudo-timestep controller: grow aggressively while the
-        # residual is non-increasing, back off and retry when it diverges
-        accept = gnorm_new <= gnorm_old * opts.accept_factor
-        dtau_new = jnp.where(accept, dtau * opts.dtau_growth, dtau * opts.dtau_shrink)
+        # accept/reject controller: grow dtau aggressively while the residual
+        # is non-increasing, back off (and force a refactor) when it diverges
+        accept = gnorm_new <= state["gnorm"] * opts.accept_factor
+        dtau_new = jnp.where(
+            accept, state["dtau"] * opts.dtau_growth, state["dtau"] * opts.dtau_shrink
+        )
         dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
-        gnorm_next = jnp.where(accept, gnorm_new, gnorm_old)
-        improved = gnorm_next < best * 0.7
-        best_new = jnp.minimum(best, gnorm_next)
-        bad_new = jnp.where(improved, 0, bad + 1)
-        stalled = jnp.logical_and(bad_new >= opts.stall_iters, best_new <= opts.stall_accept)
+        gnorm_next = jnp.where(accept, gnorm_new, state["gnorm"])
+        improved = gnorm_next < state["best"] * 0.7
+        best_new = jnp.minimum(state["best"], gnorm_next)
+        bad_new = jnp.where(improved, 0, state["bad"] + 1)
+        stalled = jnp.logical_and(
+            bad_new >= opts.stall_iters, best_new <= opts.stall_accept
+        )
         newly_done = jnp.logical_or(
             jnp.logical_and(accept, gnorm_new <= 1.0), stalled
         )
+        done = state["done"]
         advance = jnp.logical_and(accept, ~done)
-        Y_out = jnp.where(advance[:, None], Y_new, Y)
-        g_out = jnp.where(advance[:, None], g_new, g)
-        return (
-            Y_out,
-            g_out,
-            J,
-            jnp.where(done, dtau, dtau_new),
-            jnp.where(advance, gnorm_new, gnorm_old),
-            jnp.where(done, best, best_new),
-            jnp.where(done, bad, bad_new),
-            it + 1,
-            jnp.logical_or(done, newly_done),
-        )
+        return {
+            "Y": jnp.where(advance[:, None], Y_new, state["Y"]),
+            "g": jnp.where(advance[:, None], g_new, state["g"]),
+            "fac": fac,
+            "diagJ": diagJ,
+            "dtau": jnp.where(done, state["dtau"], dtau_new),
+            "gnorm": jnp.where(advance, gnorm_new, state["gnorm"]),
+            "best": jnp.where(done, state["best"], best_new),
+            "bad": jnp.where(done, state["bad"], bad_new),
+            "it": state["it"] + 1,
+            "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
+            "done": jnp.logical_or(done, newly_done),
+        }
 
     if dtau0 is None:
         dtau0 = jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res
     g0 = _rhs_eoff(Y_guess, T0, P0, Y_in, mdot_over_V, arr)
-    state0 = (
-        Y_guess,
-        g0,
-        jnp.zeros((B, ns, ns), dtype),
-        jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
-        jnp.full((B,), jnp.inf, dtype),
-        jnp.full((B,), jnp.inf, dtype),
-        jnp.zeros((B,), jnp.int32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((B,), bool),
+    # conservative initial norm (rate floor 1/t_res): a runaway first step must
+    # NOT be blindly accepted -- an inf baseline lets one catastrophic Newton
+    # step land in a spurious basin (observed: adiabatic T escaping to T_max)
+    gnorm0 = resid_norm(g0, Y_guess, jnp.zeros((B, ns), dtype))
+    dummy_fac = Factorization(
+        lu=jnp.zeros((B, ns, ns), jnp.float32),
+        piv=jnp.zeros((B, ns), jnp.int32),
+        row_scale=jnp.ones((B, ns), dtype),
+        col_scale=jnp.ones((B, ns), dtype),
+        A=jnp.zeros((B, ns, ns), dtype),
     )
-    Y, g, J, dtau, gnorm, best, bad, iters, done = jax.lax.while_loop(cond, body, state0)
-    return Y, {"iterations": iters, "resid": gnorm, "converged": done, "dtau": dtau}
+    state0 = {
+        "Y": Y_guess,
+        "g": g0,
+        "fac": dummy_fac,
+        "diagJ": jnp.ones((B, ns), dtype),
+        "dtau": jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
+        "gnorm": gnorm0,
+        "best": jnp.full((B,), jnp.inf, dtype),
+        "bad": jnp.zeros((B,), jnp.int32),
+        "it": jnp.zeros((), jnp.int32),
+        "rejected": jnp.zeros((), bool),
+        "done": jnp.zeros((B,), bool),
+    }
+    out = jax.lax.while_loop(cond, body, state0)
+    return out["Y"], {
+        "iterations": out["it"],
+        "resid": out["gnorm"],
+        "converged": out["done"],
+        "dtau": out["dtau"],
+    }
 
 
 def solve_steady_eon(
@@ -245,7 +268,7 @@ def solve_steady_eon(
 ):
     """Batched steady state of adiabatic CSTR segments (unknowns Y and T).
 
-    Modified-Newton + warm-start semantics as in solve_steady_eoff.
+    Cached-factorization modified Newton as in solve_steady_eoff.
     Returns (Y_star, T_star, info).
     """
     dtype = Y_guess.dtype
@@ -254,27 +277,33 @@ def solve_steady_eon(
     t_res = 1.0 / (mdot_over_V / nasa7.density(T_guess, P0, Y_in, arr.mw))
 
     def rhs(Y, T):
-        return _rhs_eon(Y, T, P0, Y_in, h_in, mdot_over_V, arr)
+        gY, gT = _rhs_eon(Y, T, P0, Y_in, h_in, mdot_over_V, arr)
+        return jnp.concatenate([gY, gT[:, None]], axis=1)
 
-    def resid_norm(gY, gT, Y, T, diagJ):
+    def resid_norm(g, Y, T, diagJ):
         rate = jnp.maximum(jnp.abs(diagJ), (1.0 / t_res)[:, None])
         sY = opts.rtol * jnp.abs(Y) + opts.atol_Y
-        nY = jnp.max(jnp.abs(gY) / (rate * sY), axis=1)
-        sT = opts.rtol * T  # T has no meaningful absolute floor issue
-        nT = jnp.abs(gT) * t_res / sT
+        nY = jnp.max(jnp.abs(g[:, :ns]) / (rate * sY), axis=1)
+        sT = opts.rtol * T
+        nT = jnp.abs(g[:, ns]) * t_res / sT
         return jnp.maximum(nY, nT)
 
-    def build_system(Y, T):
+    # scale the T slot so the damping matrix is well conditioned: the T unknown
+    # is O(1000 K) while Y is O(1); solve in x_scaled = [Y, T/T_scale]
+    T_scale = jnp.asarray(1000.0, dtype)
+    D = jnp.ones((n,), dtype).at[ns].set(T_scale)
+
+    def build_fac(Y, T, dtau):
         J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr)
         inv_rho = 1.0 / rho
         flow = mdot_over_V * inv_rho
         gY = flow[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
-        h = nasa7.enthalpy_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
         cp = nasa7.cp_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
-        gT = flow * (h_in - h) / cp
 
         # dwdot/dT at fixed (Y, P): direct T dependence + dC/dT = -C/T
-        f_T = lambda t: wdot(t, P0, (nasa7.density(t, P0, Y, arr.mw)[:, None] * Y / arr.mw), arr)
+        f_T = lambda t: wdot(
+            t, P0, (nasa7.density(t, P0, Y, arr.mw)[:, None] * Y / arr.mw), arr
+        )
         _, dw_dT = jax.jvp(f_T, (T,), (jnp.ones_like(T),))
         J_YT = gY / T[:, None] + dw_dT * arr.mw * inv_rho[:, None]  # (B, ns)
 
@@ -285,82 +314,98 @@ def solve_steady_eon(
             / arr.mw
         )
         J_TY = -(flow / cp)[:, None] * hk  # (B, ns)
-        J_TT = -flow  # (B,) d gT/dT ~ -(mdot/V rho) (dominant term)
+        J_TT = -flow  # dominant d gT/dT
 
         J = jnp.zeros((B, n, n), dtype)
         J = J.at[:, :ns, :ns].set(J_YY)
         J = J.at[:, :ns, ns].set(J_YT)
         J = J.at[:, ns, :ns].set(J_TY)
         J = J.at[:, ns, ns].set(J_TT)
-        g = jnp.concatenate([gY, gT[:, None]], axis=1)
-        return J, g
+        Js = J * D[None, None, :]
+        A = jnp.eye(n, dtype=dtype) / dtau[:, None, None] - Js
+        return factorize(A), jnp.diagonal(J_YY, axis1=1, axis2=2)
 
     def cond(state):
-        Y, T, g, J, dtau, gnorm, best, bad, it, done = state
-        return jnp.logical_and(it < opts.max_iters, ~jnp.all(done))
+        return jnp.logical_and(state["it"] < opts.max_iters, ~jnp.all(state["done"]))
 
     def body(state):
-        Y, T, g, J, dtau, gnorm_old, best, bad, it, done = state
-        J = jax.lax.cond(
-            it % opts.jac_refresh_every == 0,
-            lambda args: build_system(*args)[0],
-            lambda args: J,
-            (Y, T),
+        refresh = jnp.logical_or(
+            state["it"] % opts.jac_refresh_every == 0, state["rejected"]
         )
-        diagJ = jnp.diagonal(J, axis1=1, axis2=2)[:, :ns]
-        # scale the T slot so the damping matrix is well conditioned: the T
-        # unknown is O(1000 K) while Y is O(1); work in T/T_scale
-        T_scale = jnp.asarray(1000.0, dtype)
-        D = jnp.ones((n,), dtype).at[ns].set(T_scale)
-        Js = J * D[None, None, :]  # d g/d(x_scaled)
-        A = jnp.eye(n, dtype=dtype) / dtau[:, None, None] - Js
-        delta = batched_solve(A, g) * D[None, :]
-        Y_new = jnp.clip(Y + delta[:, :ns], 0.0, 1.0)
+        fac, diagJ = jax.lax.cond(
+            refresh,
+            lambda args: build_fac(*args),
+            lambda args: (state["fac"], state["diagJ"]),
+            (state["Y"], state["T"], state["dtau"]),
+        )
+        delta = solve_factored(fac, state["g"]) * D[None, :]
+        Y_new = jnp.clip(state["Y"] + delta[:, :ns], 0.0, 1.0)
         Y_new = Y_new / jnp.sum(Y_new, axis=1, keepdims=True)
-        T_new = jnp.clip(T + delta[:, ns], opts.T_min, opts.T_max)
-        gY_new, gT_new = rhs(Y_new, T_new)
-        g_new = jnp.concatenate([gY_new, gT_new[:, None]], axis=1)
-        gnorm_new = resid_norm(gY_new, gT_new, Y_new, T_new, diagJ)
-        accept = gnorm_new <= gnorm_old * opts.accept_factor
-        dtau_new = jnp.where(accept, dtau * opts.dtau_growth, dtau * opts.dtau_shrink)
+        # trust region: a single segment never moves T by hundreds of K; an
+        # unguarded step can jump to a spurious high-T basin
+        dT = jnp.clip(delta[:, ns], -opts.dT_max, opts.dT_max)
+        T_new = jnp.clip(state["T"] + dT, opts.T_min, opts.T_max)
+        g_new = rhs(Y_new, T_new)
+        gnorm_new = resid_norm(g_new, Y_new, T_new, diagJ)
+        accept = gnorm_new <= state["gnorm"] * opts.accept_factor
+        dtau_new = jnp.where(
+            accept, state["dtau"] * opts.dtau_growth, state["dtau"] * opts.dtau_shrink
+        )
         dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
-        gnorm_next = jnp.where(accept, gnorm_new, gnorm_old)
-        improved = gnorm_next < best * 0.7
-        best_new = jnp.minimum(best, gnorm_next)
-        bad_new = jnp.where(improved, 0, bad + 1)
-        stalled = jnp.logical_and(bad_new >= opts.stall_iters, best_new <= opts.stall_accept)
-        newly_done = jnp.logical_or(
-            jnp.logical_and(accept, gnorm_new <= 1.0), stalled
+        gnorm_next = jnp.where(accept, gnorm_new, state["gnorm"])
+        improved = gnorm_next < state["best"] * 0.7
+        best_new = jnp.minimum(state["best"], gnorm_next)
+        bad_new = jnp.where(improved, 0, state["bad"] + 1)
+        stalled = jnp.logical_and(
+            bad_new >= opts.stall_iters, best_new <= opts.stall_accept
         )
+        newly_done = jnp.logical_or(jnp.logical_and(accept, gnorm_new <= 1.0), stalled)
+        done = state["done"]
         advance = jnp.logical_and(accept, ~done)
-        return (
-            jnp.where(advance[:, None], Y_new, Y),
-            jnp.where(advance, T_new, T),
-            jnp.where(advance[:, None], g_new, g),
-            J,
-            jnp.where(done, dtau, dtau_new),
-            jnp.where(advance, gnorm_new, gnorm_old),
-            jnp.where(done, best, best_new),
-            jnp.where(done, bad, bad_new),
-            it + 1,
-            jnp.logical_or(done, newly_done),
-        )
+        return {
+            "Y": jnp.where(advance[:, None], Y_new, state["Y"]),
+            "T": jnp.where(advance, T_new, state["T"]),
+            "g": jnp.where(advance[:, None], g_new, state["g"]),
+            "fac": fac,
+            "diagJ": diagJ,
+            "dtau": jnp.where(done, state["dtau"], dtau_new),
+            "gnorm": jnp.where(advance, gnorm_new, state["gnorm"]),
+            "best": jnp.where(done, state["best"], best_new),
+            "bad": jnp.where(done, state["bad"], bad_new),
+            "it": state["it"] + 1,
+            "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
+            "done": jnp.logical_or(done, newly_done),
+        }
 
     if dtau0 is None:
         dtau0 = jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res
-    gY0, gT0 = rhs(Y_guess, T_guess)
-    g0 = jnp.concatenate([gY0, gT0[:, None]], axis=1)
-    state0 = (
-        Y_guess,
-        T_guess,
-        g0,
-        jnp.zeros((B, n, n), dtype),
-        jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
-        jnp.full((B,), jnp.inf, dtype),
-        jnp.full((B,), jnp.inf, dtype),
-        jnp.zeros((B,), jnp.int32),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((B,), bool),
+    g0 = rhs(Y_guess, T_guess)
+    gnorm0 = resid_norm(g0, Y_guess, T_guess, jnp.zeros((B, ns), dtype))
+    dummy_fac = Factorization(
+        lu=jnp.zeros((B, n, n), jnp.float32),
+        piv=jnp.zeros((B, n), jnp.int32),
+        row_scale=jnp.ones((B, n), dtype),
+        col_scale=jnp.ones((B, n), dtype),
+        A=jnp.zeros((B, n, n), dtype),
     )
-    Y, T, g, J, dtau, gnorm, best, bad, iters, done = jax.lax.while_loop(cond, body, state0)
-    return Y, T, {"iterations": iters, "resid": gnorm, "converged": done, "dtau": dtau}
+    state0 = {
+        "Y": Y_guess,
+        "T": T_guess,
+        "g": g0,
+        "fac": dummy_fac,
+        "diagJ": jnp.ones((B, ns), dtype),
+        "dtau": jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
+        "gnorm": gnorm0,
+        "best": jnp.full((B,), jnp.inf, dtype),
+        "bad": jnp.zeros((B,), jnp.int32),
+        "it": jnp.zeros((), jnp.int32),
+        "rejected": jnp.zeros((), bool),
+        "done": jnp.zeros((B,), bool),
+    }
+    out = jax.lax.while_loop(cond, body, state0)
+    return out["Y"], out["T"], {
+        "iterations": out["it"],
+        "resid": out["gnorm"],
+        "converged": out["done"],
+        "dtau": out["dtau"],
+    }

@@ -47,8 +47,8 @@ class TestSteadyCSTR:
         # flow = mdot/(V rho(Y*)); all MW equal so rho is composition-independent
         YA = f / (f + k1)
         YB = (k1 * YA) / (f + k2)
-        np.testing.assert_allclose(np.asarray(Y[:, 0]), YA, rtol=1e-7)
-        np.testing.assert_allclose(np.asarray(Y[:, 1]), YB, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(Y[:, 0]), YA, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(Y[:, 1]), YB, rtol=2e-5)
         np.testing.assert_allclose(np.asarray(Y.sum(1)), 1.0, atol=1e-12)
 
     def test_eon_enthalpy_conservation(self, toy, toy_dev):
@@ -109,7 +109,7 @@ class TestPFRChain:
             jnp.einsum("bns,se,s->bne", traj.Y, arr.composition, 1.0 / arr.mw)
         )
         drift = np.abs(elem_mass - elem_mass[:, :1, :]).max() / elem_mass.max()
-        assert drift < 1e-8
+        assert drift < 1e-5  # ~10 segments x per-segment rtol 1e-6
         # time increasing, velocity rises as moles increase (cracking)
         assert np.all(np.diff(np.asarray(traj.t), axis=1) > 0)
         assert float(traj.u[0, -1]) > float(traj.u[0, 0])
@@ -124,7 +124,7 @@ class TestPFRChain:
         assert bool(traj.converged.all())
         T = np.asarray(traj.T[0])
         # hexane pyrolysis is endothermic: adiabatic T falls monotonically
-        assert np.all(np.diff(T) <= 1e-9)
+        assert np.all(np.diff(T) <= 1e-6)
         assert T[-1] < T[0] - 1.0
 
     def test_tracked_indices(self, jetsurf, llnl):
