@@ -53,6 +53,14 @@ def stage_sample(cfg: PipelineConfig) -> str:
     else:
         raise ValueError(f"dims must be 2 or 4, got {cfg.dims}")
     lhs.write_cases_csv(cfg.cases_csv, cases)
+    # corner-plot visualization (reference: Latin_hypercube_sampling_2D.py:39-81)
+    from ..evalsuite.plots import sampling_corner_plot
+
+    fig_dir = f"{cfg.out_root}/figures"
+    os.makedirs(fig_dir, exist_ok=True)
+    sampling_corner_plot(cases).savefig(
+        f"{fig_dir}/sampling_{cfg.dims}D{'_wide' if cfg.wide else ''}.png", dpi=120
+    )
     return cfg.cases_csv
 
 

@@ -57,6 +57,7 @@ class PFRTrajectory:
     u: jax.Array  # (B, n+1) velocity [m/s]
     z: jax.Array  # (B, n+1) axial position [m]
     converged: jax.Array  # (B,) all segments converged
+    newton_iters: jax.Array  # (n,) solver iterations per segment (diagnostics)
 
     def concentrations(self, arr: MechanismArrays):
         """Molar concentrations [kmol/m^3], shape (B, n+1, ns)."""
@@ -127,10 +128,10 @@ def simulate_pfr(
         rho = nasa7.density(T, P0, Y, arr.mw)
         t_r = rho / mdot_over_V  # rho V / mdot
         u = mdot_over_A / rho
-        return (Y, T, info["dtau"]), (Y, T, rho, t_r, u, info["converged"])
+        return (Y, T, info["dtau"]), (Y, T, rho, t_r, u, info["converged"], info["iterations"])
 
     dtau_init = jnp.full((B,), opts.dtau0_frac, dtype) * t_res0
-    (Yf, Tf, _), (Ys, Ts, rhos, trs, us, convs) = jax.lax.scan(
+    (Yf, Tf, _), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
         segment, (Y_feed, T0, dtau_init), None, length=n_steps
     )
     # stack the inlet state as grid point 0
@@ -153,4 +154,5 @@ def simulate_pfr(
         u=to_b(u_all),
         z=z,
         converged=jnp.all(convs, axis=0),
+        newton_iters=iters,
     )
