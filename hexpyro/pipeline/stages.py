@@ -36,6 +36,7 @@ def _jax_setup(cfg: PipelineConfig):
         jax.config.update("jax_platforms", platform)
     if cfg.x64:
         jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
     cache_dir = os.environ.get("HEXPYRO_XLA_CACHE", "/root/.cache/jax_compile")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
