@@ -34,6 +34,15 @@ def _jax_setup(cfg: PipelineConfig):
     platform = os.environ.get("HEXPYRO_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # profiling hook: HEXPYRO_PROFILE=/path/dir writes a perfetto trace of the
+    # stage (replaces the reference's wall-clock-only instrumentation,
+    # SURVEY.md section 5)
+    prof_dir = os.environ.get("HEXPYRO_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
     if cfg.x64:
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -191,7 +200,12 @@ def stage_train_crnn(cfg: PipelineConfig, temp_mlp_dir: str | None = None):
         tcfg.batch_size = cfg.batch_size
     if cfg.learning_rate is not None:
         tcfg.learning_rate = cfg.learning_rate
-    p0 = init_parameters(0, ccfg)
+    p_resume, epochs_done = ct.resume_parameters(save)
+    if p_resume is not None:
+        print(f"[train-crnn] resuming from {save} ({epochs_done} epochs done)")
+        p0 = p_resume
+    else:
+        p0 = init_parameters(0, ccfg)
     p, hist = ct.train_crnn(p0, ds, ccfg, tcfg)
     test_loss = ct.test_crnn(p, ds, ccfg, tcfg)
     print(f"[train-crnn] final train {hist['train_loss'][-1]:.6f} "

@@ -140,6 +140,22 @@ def batch_loss(p, cfg: CRNNConfig, tsteps, Tlist, u0, ylabel, yscale, tcfg: CRNN
     return jnp.mean(((pred - ref) / ysc) ** 2)
 
 
+def resume_parameters(save_path: str):
+    """Load the raw parameter vector from a saved history for resuming.
+
+    Returns (p, epochs_done) or (None, 0). The reference trainers have no
+    resume capability (SURVEY.md section 5); here any history with `updated_p`
+    (written on final save) or the last converted parameters can seed a new run.
+    """
+    if not save_path or not os.path.exists(save_path):
+        return None, 0
+    with np.load(save_path, allow_pickle=True) as z:
+        epochs = len(z["train_loss"])
+        if "updated_p" in z.files:
+            return np.asarray(z["updated_p"], np.float64), epochs
+    return None, epochs
+
+
 def train_crnn(
     p0: np.ndarray,
     ds: CRNNDataset,
