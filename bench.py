@@ -61,9 +61,13 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str) -> dict:
     T0 = jnp.asarray(cases[:, 0], dtype)
     P0 = jnp.asarray(cases[:, 1] * 1e5, dtype)
 
+    # production-sized segments: dz = 1/800 m (a prefix of the real reactor),
+    # so per-segment cost and continuation difficulty match the full sweep
+    length = n_steps / 800.0
     fn = jax.jit(
         lambda T0, P0: simulate_pfr(
-            arr, T0, P0, species_names=mech.species_names, n_steps=n_steps
+            arr, T0, P0, species_names=mech.species_names, n_steps=n_steps,
+            length=length,
         )
     )
     # compile + warmup
@@ -97,7 +101,9 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str) -> dict:
 
 def main() -> None:
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
-    B = int(os.environ.get("HEXPYRO_BENCH_B", "16"))
+    # NB: B capped at 8 for NUIGMech1.1 -- larger batches hit a reproducible
+    # device fault on this TPU (see CLAUDE.md); JetSurf is safe at 32
+    B = int(os.environ.get("HEXPYRO_BENCH_B", "8"))
     n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "100"))
     dtype_name = os.environ.get("HEXPYRO_BENCH_DTYPE", "f32")
     try:

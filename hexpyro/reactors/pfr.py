@@ -76,6 +76,8 @@ def simulate_pfr(
     energy_on: bool = False,
     opts: SteadyOptions | None = None,
     species_names=None,
+    start_state=None,
+    return_state: bool = False,
 ):
     """Simulate the PFR chain for a batch of inlet conditions.
 
@@ -85,8 +87,12 @@ def simulate_pfr(
         'NC6H14:1.0, H2O:0.7' (requires species_names).
       length, u0: scalars or (B,) per-case geometry (4D sweeps).
       energy_on: False = isothermal (Eoff), True = adiabatic (Eon).
+      start_state: optional (Y, T, dtau) tuple to resume marching mid-reactor
+        (window execution); mdot is always computed from the TRUE inlet feed.
+      return_state: also return the final (Y, T, dtau) for chaining windows.
 
-    Returns PFRTrajectory. Fully jittable; wrap in jax.jit for production use.
+    Returns PFRTrajectory (and the final state when return_state). Fully
+    jittable; wrap in jax.jit for production use.
     """
     opts = opts or default_steady_options(arr.dtype)
     dtype = arr.dtype
@@ -112,6 +118,15 @@ def simulate_pfr(
     # characteristic residence scale for the warm-start dtau cap
     t_res0 = rho0 / mdot_over_V
 
+    if start_state is not None:
+        Y_start, T_start, dtau_start = start_state
+        Y_start = jnp.asarray(Y_start, dtype)
+        T_start = jnp.asarray(T_start, dtype)
+        dtau_start = jnp.asarray(dtau_start, dtype)
+    else:
+        Y_start, T_start = Y_feed, T0
+        dtau_start = jnp.full((B,), opts.dtau0_frac, dtype) * t_res0
+
     def segment(carry, _):
         Y_prev, T_prev, dtau_prev = carry
         dtau0 = jnp.minimum(dtau_prev, opts.dtau_carry_max_frac * t_res0)
@@ -130,22 +145,22 @@ def simulate_pfr(
         u = mdot_over_A / rho
         return (Y, T, info["dtau"]), (Y, T, rho, t_r, u, info["converged"], info["iterations"])
 
-    dtau_init = jnp.full((B,), opts.dtau0_frac, dtype) * t_res0
-    (Yf, Tf, _), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
-        segment, (Y_feed, T0, dtau_init), None, length=n_steps
+    (Yf, Tf, dtau_f), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
+        segment, (Y_start, T_start, dtau_start), None, length=n_steps
     )
-    # stack the inlet state as grid point 0
-    Y_all = jnp.concatenate([Y_feed[None], Ys], axis=0)  # (n+1, B, ns)
-    T_all = jnp.concatenate([T0[None], Ts], axis=0)
-    rho_all = jnp.concatenate([rho0[None], rhos], axis=0)
-    u_all = jnp.concatenate([u0[None], us], axis=0)
+    # stack the window's inlet state as grid point 0
+    rho_start = nasa7.density(T_start, P0, Y_start, arr.mw)
+    Y_all = jnp.concatenate([Y_start[None], Ys], axis=0)  # (n+1, B, ns)
+    T_all = jnp.concatenate([T_start[None], Ts], axis=0)
+    rho_all = jnp.concatenate([rho_start[None], rhos], axis=0)
+    u_all = jnp.concatenate([(mdot_over_A / rho_start)[None], us], axis=0)
     t_all = jnp.concatenate([jnp.zeros((1, B), dtype), jnp.cumsum(trs, axis=0)], axis=0)
 
     # (B, n+1, ...) layout
     to_b = lambda x: jnp.moveaxis(x, 0, 1)
     n1 = n_steps + 1
     z = jnp.linspace(0.0, 1.0, n1, dtype=dtype)[None, :] * length[:, None]
-    return PFRTrajectory(
+    traj = PFRTrajectory(
         t=to_b(t_all),
         T=to_b(T_all),
         P=jnp.broadcast_to(P0[:, None], (B, n1)),
@@ -155,4 +170,96 @@ def simulate_pfr(
         z=z,
         converged=jnp.all(convs, axis=0),
         newton_iters=iters,
+    )
+    if return_state:
+        return traj, (Yf, Tf, dtau_f)
+    return traj
+
+
+def simulate_pfr_windowed(
+    arr: MechanismArrays,
+    T0,
+    P0,
+    *,
+    window: int = 100,
+    n_steps=DEFAULT_N_STEPS,
+    length=DEFAULT_LENGTH,
+    u0=DEFAULT_U0,
+    energy_on: bool = False,
+    opts: SteadyOptions | None = None,
+    species_names=None,
+    Y_feed=None,
+):
+    """Run the chain as sequential jitted windows of `window` segments.
+
+    Keeps each device execution short (this environment's TPU tunnel kills
+    executions running longer than ~1-2 minutes) and gives natural progress/
+    checkpoint boundaries. Numerically identical to one long scan up to the
+    dtau warm-start at window joins.
+    """
+    import numpy as np
+
+    assert n_steps % window == 0, "n_steps must be a multiple of window"
+    opts = opts or default_steady_options(arr.dtype)
+    dtype = arr.dtype
+    T0 = jnp.asarray(T0, dtype)
+    P0 = jnp.asarray(P0, dtype)
+    B = T0.shape[0]
+    if Y_feed is None:
+        Y_feed = nasa7.mass_fractions_from_composition_string(
+            FEED_COMPOSITION, species_names, arr.mw
+        )
+    Y_feed = jnp.broadcast_to(jnp.asarray(Y_feed, dtype), (B, arr.n_species))
+    length_b = jnp.broadcast_to(jnp.asarray(length, dtype), (B,))
+    u0_b = jnp.broadcast_to(jnp.asarray(u0, dtype), (B,))
+    rho0 = nasa7.density(T0, P0, Y_feed, arr.mw)
+    t_res0 = rho0 / (rho0 * u0_b / (length_b / n_steps))
+    state = (Y_feed, T0, jnp.full((B,), opts.dtau0_frac, dtype) * t_res0)
+
+    fn = jax.jit(
+        lambda T0, P0, L, U, state: simulate_pfr(
+            arr, T0, P0, Y_feed=Y_feed, n_steps=window,
+            length=L * window / n_steps, u0=U,
+            energy_on=energy_on, opts=opts, species_names=species_names,
+            start_state=state, return_state=True,
+        )
+    )
+    parts = []
+    for w in range(n_steps // window):
+        traj, state = jax.block_until_ready(fn(T0, P0, length_b, u0_b, state))
+        parts.append(traj)
+    return _stitch_windows(parts, np.asarray(length_b), n_steps)
+
+
+def _stitch_windows(parts, length, n_steps):
+    """Concatenate window trajectories into one PFRTrajectory."""
+    import numpy as np
+
+    B = parts[0].t.shape[0]
+    t_off = np.zeros(B)
+    ts, Ts, Ys, rhos, us = [], [], [], [], []
+    convs = []
+    iters = []
+    for i, p in enumerate(parts):
+        sl = slice(None) if i == 0 else slice(1, None)
+        ts.append(np.asarray(p.t)[:, sl] + t_off[:, None])
+        Ts.append(np.asarray(p.T)[:, sl])
+        Ys.append(np.asarray(p.Y)[:, sl])
+        rhos.append(np.asarray(p.rho)[:, sl])
+        us.append(np.asarray(p.u)[:, sl])
+        convs.append(np.asarray(p.converged))
+        iters.append(np.asarray(p.newton_iters))
+        t_off = t_off + np.asarray(p.t)[:, -1]
+    n1 = n_steps + 1
+    z = np.linspace(0.0, 1.0, n1)[None, :] * np.atleast_1d(length)[:, None]
+    return PFRTrajectory(
+        t=np.concatenate(ts, axis=1),
+        T=np.concatenate(Ts, axis=1),
+        P=np.broadcast_to(np.asarray(parts[0].P)[:, :1], (B, n1)).copy(),
+        Y=np.concatenate(Ys, axis=1),
+        rho=np.concatenate(rhos, axis=1),
+        u=np.concatenate(us, axis=1),
+        z=np.broadcast_to(z, (B, n1)).copy(),
+        converged=np.logical_and.reduce(convs),
+        newton_iters=np.concatenate(iters),
     )
