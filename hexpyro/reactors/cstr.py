@@ -42,7 +42,8 @@ import jax.numpy as jnp
 
 from ..kinetics.wdot import wdot, wdot_and_jacobian
 from ..mechanism.arrays import MechanismArrays
-from ..solvers.linalg import Factorization, factorize, solve_factored
+from ..solvers.linalg import (Factorization, factorize, ns_init_state,
+                              ns_refresh_state, ns_solve, solve_factored)
 from ..thermo import nasa7
 
 
@@ -70,6 +71,13 @@ class SteadyOptions:
     # units (Y error <= stall_accept * (rtol|Y| + atol) ~ 1e-4 relative)
     stall_iters: int = 10
     stall_accept: float = 100.0
+    # "lu": equilibrated f32 LU (XLA; column-sequential, slow at large ns)
+    # "nsinv": Newton-Schulz-maintained approximate inverse used as a
+    #          Richardson preconditioner -- pure MXU matmuls, the fast path for
+    #          the big mechanisms (LLNL/NUIG)
+    linear_solver: str = "lu"
+    ns_iters: int = 2
+    richardson_iters: int = 3
     T_min: float = 250.0
     T_max: float = 3500.0
     dT_max: float = 150.0  # per-Newton-step temperature trust region [K]
@@ -86,7 +94,13 @@ def default_steady_options(dtype) -> "SteadyOptions":
     import jax.numpy as jnp
 
     if dtype == jnp.float32:
-        return SteadyOptions(rtol=1e-4, atol_Y=1e-9, stall_accept=30.0, stall_iters=8)
+        # nsinv: Newton-Schulz preconditioner carried across segments -- the
+        # chain then averages ~1.1 Newton iterations/segment (golden cold-case
+        # outlet 865.318 K vs Cantera 865.285 K)
+        return SteadyOptions(
+            rtol=1e-4, atol_Y=1e-9, stall_accept=30.0, stall_iters=8,
+            linear_solver="nsinv",
+        )
     return SteadyOptions()
 
 
@@ -168,10 +182,17 @@ def solve_steady_eoff(
         scale = opts.rtol * jnp.abs(Y) + opts.atol_Y
         return jnp.max(jnp.abs(g) / (rate * scale), axis=1)
 
-    def build_fac(Y, dtau):
+    use_ns = opts.linear_solver == "nsinv"
+
+    def build_fac(Y, dtau, prev_fac):
         J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr)
         A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
-        return factorize(A), jnp.diagonal(J, axis1=1, axis2=2)
+        fac = (
+            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters)
+            if use_ns
+            else factorize(A)
+        )
+        return fac, jnp.diagonal(J, axis1=1, axis2=2)
 
     def cond(state):
         return jnp.logical_and(
@@ -186,9 +207,13 @@ def solve_steady_eoff(
             refresh,
             lambda args: build_fac(*args),
             lambda args: (state["fac"], state["diagJ"]),
-            (state["Y"], state["dtau"]),
+            (state["Y"], state["dtau"], state["fac"]),
         )
-        delta = solve_factored(fac, state["g"])
+        delta = (
+            ns_solve(fac, state["g"], iters=opts.richardson_iters)
+            if use_ns
+            else solve_factored(fac, state["g"])
+        )
         Y_new = jnp.clip(state["Y"] + delta, 0.0, 1.0)
         Y_new = Y_new / jnp.sum(Y_new, axis=1, keepdims=True)
         g_new = _rhs_eoff(Y_new, T0, P0, Y_in, mdot_over_V, arr)
@@ -233,12 +258,16 @@ def solve_steady_eoff(
     # NOT be blindly accepted -- an inf baseline lets one catastrophic Newton
     # step land in a spurious basin (observed: adiabatic T escaping to T_max)
     gnorm0 = resid_norm(g0, Y_guess, jnp.zeros((B, ns), dtype))
-    dummy_fac = Factorization(
-        lu=jnp.zeros((B, ns, ns), jnp.float32),
-        piv=jnp.zeros((B, ns), jnp.int32),
-        row_scale=jnp.ones((B, ns), dtype),
-        col_scale=jnp.ones((B, ns), dtype),
-        A=jnp.zeros((B, ns, ns), dtype),
+    dummy_fac = (
+        ns_init_state(B, ns, dtype)
+        if use_ns
+        else Factorization(
+            lu=jnp.zeros((B, ns, ns), jnp.float32),
+            piv=jnp.zeros((B, ns), jnp.int32),
+            row_scale=jnp.ones((B, ns), dtype),
+            col_scale=jnp.ones((B, ns), dtype),
+            A=jnp.zeros((B, ns, ns), dtype),
+        )
     )
     state0 = {
         "Y": Y_guess,
@@ -293,7 +322,9 @@ def solve_steady_eon(
     T_scale = jnp.asarray(1000.0, dtype)
     D = jnp.ones((n,), dtype).at[ns].set(T_scale)
 
-    def build_fac(Y, T, dtau):
+    use_ns = opts.linear_solver == "nsinv"
+
+    def build_fac(Y, T, dtau, prev_fac):
         J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr)
         inv_rho = 1.0 / rho
         flow = mdot_over_V * inv_rho
@@ -323,7 +354,12 @@ def solve_steady_eon(
         J = J.at[:, ns, ns].set(J_TT)
         Js = J * D[None, None, :]
         A = jnp.eye(n, dtype=dtype) / dtau[:, None, None] - Js
-        return factorize(A), jnp.diagonal(J_YY, axis1=1, axis2=2)
+        fac = (
+            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters)
+            if use_ns
+            else factorize(A)
+        )
+        return fac, jnp.diagonal(J_YY, axis1=1, axis2=2)
 
     def cond(state):
         return jnp.logical_and(state["it"] < opts.max_iters, ~jnp.all(state["done"]))
@@ -336,9 +372,13 @@ def solve_steady_eon(
             refresh,
             lambda args: build_fac(*args),
             lambda args: (state["fac"], state["diagJ"]),
-            (state["Y"], state["T"], state["dtau"]),
+            (state["Y"], state["T"], state["dtau"], state["fac"]),
         )
-        delta = solve_factored(fac, state["g"]) * D[None, :]
+        delta = (
+            ns_solve(fac, state["g"], iters=opts.richardson_iters)
+            if use_ns
+            else solve_factored(fac, state["g"])
+        ) * D[None, :]
         Y_new = jnp.clip(state["Y"] + delta[:, :ns], 0.0, 1.0)
         Y_new = Y_new / jnp.sum(Y_new, axis=1, keepdims=True)
         # trust region: a single segment never moves T by hundreds of K; an
@@ -381,12 +421,16 @@ def solve_steady_eon(
         dtau0 = jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res
     g0 = rhs(Y_guess, T_guess)
     gnorm0 = resid_norm(g0, Y_guess, T_guess, jnp.zeros((B, ns), dtype))
-    dummy_fac = Factorization(
-        lu=jnp.zeros((B, n, n), jnp.float32),
-        piv=jnp.zeros((B, n), jnp.int32),
-        row_scale=jnp.ones((B, n), dtype),
-        col_scale=jnp.ones((B, n), dtype),
-        A=jnp.zeros((B, n, n), dtype),
+    dummy_fac = (
+        ns_init_state(B, n, dtype)
+        if use_ns
+        else Factorization(
+            lu=jnp.zeros((B, n, n), jnp.float32),
+            piv=jnp.zeros((B, n), jnp.int32),
+            row_scale=jnp.ones((B, n), dtype),
+            col_scale=jnp.ones((B, n), dtype),
+            A=jnp.zeros((B, n, n), dtype),
+        )
     )
     state0 = {
         "Y": Y_guess,

@@ -28,12 +28,17 @@ class Factorization(NamedTuple):
     A: jax.Array  # original matrix (for f64 refinement residuals)
 
 
-def factorize(A) -> Factorization:
-    """Equilibrate + f32 LU factor a batch of matrices A (B, n, n)."""
+def equilibrate(A):
+    """Two-sided max equilibration: returns (As, r, c) with As = diag(r) A diag(c)."""
     r = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=2), 1e-30)  # (B, n)
     As = A * r[:, :, None]
     c = 1.0 / jnp.maximum(jnp.max(jnp.abs(As), axis=1), 1e-30)  # (B, n)
-    As = As * c[:, None, :]
+    return As * c[:, None, :], r, c
+
+
+def factorize(A) -> Factorization:
+    """Equilibrate + f32 LU factor a batch of matrices A (B, n, n)."""
+    As, r, c = equilibrate(A)
     lu, piv = jax.scipy.linalg.lu_factor(As.astype(jnp.float32))
     return Factorization(lu=lu, piv=piv, row_scale=r, col_scale=c, A=A)
 
@@ -63,3 +68,88 @@ def batched_solve(A, b, refine_iters: int | None = None):
     if A.dtype == jnp.float64 and jax.default_backend() != "tpu":
         return jnp.linalg.solve(A, b[..., None])[..., 0]
     return solve_factored(factorize(A), b, refine_iters)
+
+
+# ---------------------------------------------------------------------------
+# MXU-native alternative: Newton-Schulz-maintained approximate inverse
+# ---------------------------------------------------------------------------
+#
+# XLA's TPU LU is a column-sequential loop (~30-60 ms at n=925); for the large
+# mechanisms it dominates the whole reactor solve. Instead we carry X ~= A^-1
+# across Newton iterations/segments and maintain it with Newton-Schulz updates
+# X <- X (2I - A X): pure batched matmuls that run at MXU speed. X is used as a
+# PRECONDITIONER for Richardson iteration (delta += X (b - A delta)), which
+# converges whenever ||I - A X|| < 1, so X only needs ~1 digit of quality --
+# robust to f32 and to stale state. When the quality check fails, X is
+# reinitialized from a true (slow) LU inverse under a lax.cond.
+
+
+def inverse_init(A):
+    """True inverse via LU (slow; used to seed / rescue the NS inverse)."""
+    B, n, _ = A.shape
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (B, n, n))
+    lu, piv = jax.scipy.linalg.lu_factor(A.astype(jnp.float32))
+    return jax.scipy.linalg.lu_solve((lu, piv), eye).astype(A.dtype)
+
+
+def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9):
+    """Newton-Schulz update of X toward A^-1, with LU rescue on divergence.
+
+    Returns (X_new, resid) where resid (B,) = max|I - A X| row-sum estimate.
+    """
+    B, n, _ = A.shape
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def ns_step(X):
+        E = eye - jnp.matmul(A, X, preferred_element_type=A.dtype)
+        return X + jnp.matmul(X, E, preferred_element_type=A.dtype), E
+
+    for _ in range(ns_iters):
+        X, E = ns_step(X)
+    resid = jnp.max(jnp.abs(E), axis=(1, 2)) * n  # cheap row-sum-ish bound
+    bad = jnp.any(~jnp.isfinite(resid)) | jnp.any(resid > bad_threshold)
+    X = jax.lax.cond(bad, lambda _: inverse_init(A), lambda _: X, None)
+    return X
+
+
+def precond_solve(X, A, b, iters: int = 3):
+    """Richardson iteration preconditioned by X ~= A^-1 (n^2 matvecs)."""
+    x = jnp.einsum("bij,bj->bi", X, b)
+    for _ in range(iters):
+        r = b - jnp.einsum("bij,bj->bi", A, x)
+        x = x + jnp.einsum("bij,bj->bi", X, r)
+    return x
+
+
+class NSInverse(NamedTuple):
+    """Carried state of the Newton-Schulz preconditioner (equilibrated space)."""
+
+    X: jax.Array  # (B, n, n) ~= As^-1
+    As: jax.Array  # (B, n, n) equilibrated system matrix
+    r: jax.Array  # (B, n) row scales
+    c: jax.Array  # (B, n) col scales
+
+
+def ns_init_state(B: int, n: int, dtype) -> NSInverse:
+    z = jnp.zeros((B, n, n), dtype)
+    one = jnp.ones((B, n), dtype)
+    return NSInverse(X=z, As=z, r=one, c=one)
+
+
+def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2) -> NSInverse:
+    """Re-equilibrate a new A and NS-update X (rescaled across scale changes).
+
+    As_new^-1 = diag(c_old/c_new) As_old^-1 diag(r_old/r_new); starting from the
+    rescaled old X, a couple of Newton-Schulz matmul steps re-converge it. A
+    zero/diverged X triggers the in-refresh LU rescue automatically.
+    """
+    As, r, c = equilibrate(A)
+    X0 = st.X * (st.c / c)[:, :, None] * (st.r / r)[:, None, :]
+    X = inverse_refresh(X0, As, ns_iters=ns_iters)
+    return NSInverse(X=X, As=As, r=r, c=c)
+
+
+def ns_solve(st: NSInverse, b, iters: int = 3):
+    """Solve A x = b with the carried preconditioner (n^2 matvecs only)."""
+    y = precond_solve(st.X, st.As, b * st.r, iters=iters)
+    return y * st.c
