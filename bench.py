@@ -101,9 +101,9 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str) -> dict:
 
 def main() -> None:
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
-    # NB: B capped at 8 for NUIGMech1.1 -- larger batches hit a reproducible
-    # device fault on this TPU (see CLAUDE.md); JetSurf is safe at 32
-    B = int(os.environ.get("HEXPYRO_BENCH_B", "8"))
+    # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the
+    # Newton-Schulz-preconditioned solver (0.43 traj/s; B=64 drops to 0.32)
+    B = int(os.environ.get("HEXPYRO_BENCH_B", "16"))
     n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "100"))
     dtype_name = os.environ.get("HEXPYRO_BENCH_DTYPE", "f32")
     try:
