@@ -35,8 +35,6 @@ convergence is always declared on the exact residual.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -17,8 +17,6 @@ vmap over trajectories for batched solves.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -38,7 +38,7 @@ from ..pipeline import artifacts
 from ..solvers.dopri5 import odeint_dopri5
 from ..surrogate import mlp as mlp_mod
 from ..surrogate.crnn import NS, CRNNConfig, crnn_rhs, parameter_converter
-from .schedules import PlateauState, plateau_init, plateau_step
+from .schedules import plateau_init, plateau_step
 
 
 @dataclasses.dataclass
