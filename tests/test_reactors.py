@@ -134,3 +134,37 @@ class TestPFRChain:
         assert jetsurf.species_names[idx_j[6]] == "NC6H14"
         assert llnl.species_names[idx_l[5]] == "C4H8-1"
         assert jetsurf.species_names[idx_j[5]] == "C4H81"
+
+
+class TestSolverVariants:
+    def test_nsinv_matches_lu(self, jetsurf, jetsurf_dev):
+        """Both linear solvers must converge to the same steady states."""
+        T0 = jnp.array([1050.0])
+        P0 = jnp.array([2.0e5])
+        t_lu = simulate_pfr(
+            jetsurf_dev, T0, P0, species_names=jetsurf.species_names, n_steps=8,
+            opts=SteadyOptions(linear_solver="lu"),
+        )
+        t_ns = simulate_pfr(
+            jetsurf_dev, T0, P0, species_names=jetsurf.species_names, n_steps=8,
+            opts=SteadyOptions(linear_solver="nsinv"),
+        )
+        assert bool(t_lu.converged.all()) and bool(t_ns.converged.all())
+        scale = float(jnp.abs(t_lu.Y).max())
+        assert float(jnp.abs(t_ns.Y - t_lu.Y).max()) / scale < 1e-5
+
+    def test_windowed_matches_monolithic(self, jetsurf, jetsurf_dev):
+        from hexpyro.reactors.pfr import simulate_pfr_windowed
+
+        T0 = jnp.array([1050.0])
+        P0 = jnp.array([2.0e5])
+        full = simulate_pfr(
+            jetsurf_dev, T0, P0, species_names=jetsurf.species_names, n_steps=12
+        )
+        win = simulate_pfr_windowed(
+            jetsurf_dev, T0, P0, species_names=jetsurf.species_names,
+            n_steps=12, window=4,
+        )
+        assert bool(win.converged.all())
+        assert float(np.abs(np.asarray(win.Y) - np.asarray(full.Y)).max()) < 1e-5
+        assert float(np.abs(np.asarray(win.t) - np.asarray(full.t)).max()) < 1e-8
