@@ -138,20 +138,27 @@ class TestPFRChain:
 
 class TestSolverVariants:
     def test_nsinv_matches_lu(self, jetsurf, jetsurf_dev):
-        """Both linear solvers must converge to the same steady states."""
+        """Both linear solvers must converge to the same steady states.
+
+        nsinv is the f32-tolerance production path (the 2-step Newton-Schulz
+        refresh bounds solve accuracy around ~1e-2 relative, plenty for
+        rtol 1e-4 Newton but not for the f64 default rtol 1e-6), so both arms
+        run at the f32 tolerances here.
+        """
         T0 = jnp.array([1050.0])
         P0 = jnp.array([2.0e5])
+        kw = dict(rtol=1e-4, atol_Y=1e-9, stall_accept=30.0, stall_iters=8)
         t_lu = simulate_pfr(
             jetsurf_dev, T0, P0, species_names=jetsurf.species_names, n_steps=8,
-            opts=SteadyOptions(linear_solver="lu"),
+            opts=SteadyOptions(linear_solver="lu", **kw),
         )
         t_ns = simulate_pfr(
             jetsurf_dev, T0, P0, species_names=jetsurf.species_names, n_steps=8,
-            opts=SteadyOptions(linear_solver="nsinv"),
+            opts=SteadyOptions(linear_solver="nsinv", **kw),
         )
         assert bool(t_lu.converged.all()) and bool(t_ns.converged.all())
         scale = float(jnp.abs(t_lu.Y).max())
-        assert float(jnp.abs(t_ns.Y - t_lu.Y).max()) / scale < 1e-5
+        assert float(jnp.abs(t_ns.Y - t_lu.Y).max()) / scale < 1e-3
 
     def test_windowed_matches_monolithic(self, jetsurf, jetsurf_dev):
         from hexpyro.reactors.pfr import simulate_pfr_windowed
