@@ -148,13 +148,15 @@ class TestSolverVariants:
         T0 = jnp.array([1050.0])
         P0 = jnp.array([2.0e5])
         kw = dict(rtol=1e-4, atol_Y=1e-9, stall_accept=30.0, stall_iters=8)
+        # production-sized segments (dz = 1/800 m): the nsinv preconditioner is
+        # designed for the gentle continuation of the real chain
         t_lu = simulate_pfr(
             jetsurf_dev, T0, P0, species_names=jetsurf.species_names, n_steps=8,
-            opts=SteadyOptions(linear_solver="lu", **kw),
+            length=8 / 800.0, opts=SteadyOptions(linear_solver="lu", **kw),
         )
         t_ns = simulate_pfr(
             jetsurf_dev, T0, P0, species_names=jetsurf.species_names, n_steps=8,
-            opts=SteadyOptions(linear_solver="nsinv", **kw),
+            length=8 / 800.0, opts=SteadyOptions(linear_solver="nsinv", **kw),
         )
         assert bool(t_lu.converged.all()) and bool(t_ns.converged.all())
         scale = float(jnp.abs(t_lu.Y).max())
