@@ -104,7 +104,7 @@ def main() -> None:
     # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the
     # Newton-Schulz-preconditioned solver (0.43 traj/s; B=64 drops to 0.32)
     B = int(os.environ.get("HEXPYRO_BENCH_B", "16"))
-    n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "100"))
+    n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "800"))
     dtype_name = os.environ.get("HEXPYRO_BENCH_DTYPE", "f32")
     try:
         result = run(B, n_steps, mech_name, dtype_name)
