@@ -68,6 +68,14 @@ def main(argv=None) -> int:
             sp.add_argument("--crnn-npz", dest="crnn_npz", required=True)
             sp.add_argument("--time-mlp-dir", dest="time_mlp_dir", required=True)
             sp.add_argument("--temp-mlp-dir", dest="temp_mlp_dir")
+            sp.add_argument("--dataset-dir", dest="dataset_dir",
+                            help="truth dir for an independent evaluation set")
+            sp.add_argument("--cases-csv", dest="cases_csv",
+                            help="cases CSV for an independent evaluation set")
+            sp.add_argument("--eval-tag", dest="eval_tag", default="",
+                            help="suffix for metric/prediction outputs")
+            sp.add_argument("--no-predictions", dest="no_predictions",
+                            action="store_true")
         if name.startswith("eval-"):
             sp.add_argument("--mlp-dir", dest="mlp_dir")
         if name == "validate":
@@ -97,7 +105,9 @@ def main(argv=None) -> int:
         stages.stage_train_profile_mlp(cfg, "time")
     elif args.cmd == "deploy":
         stages.stage_deploy(
-            cfg, args.crnn_npz, args.time_mlp_dir, temp_mlp_dir=args.temp_mlp_dir
+            cfg, args.crnn_npz, args.time_mlp_dir, temp_mlp_dir=args.temp_mlp_dir,
+            dataset_dir=args.dataset_dir, cases_csv=args.cases_csv,
+            save_predictions=not args.no_predictions, eval_tag=args.eval_tag,
         )
     elif args.cmd == "eval-temp-mlp":
         stages.stage_eval_mlp(cfg, "temp", mlp_dir=args.mlp_dir)

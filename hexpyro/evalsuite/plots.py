@@ -64,12 +64,18 @@ def plot_trajectories(t, y_pred, y_ref, T0: float, P0: float, species=SPECIES_7)
 def plot_two_model_comparison(
     t_list_a, y_list_a, t_list_b, y_list_b, conditions,
     model_names=("model A", "model B"), species=SPECIES_7,
+    y_ref_a=None, y_ref_b=None, ref_sparsity=80,
 ):
     """Three conditions x two models: y_list_* are lists of (n_species, n_time).
 
-    Mirrors plot_sol_3_two_models: solid = model A, dashed = model B, one color
-    per condition, two info panels.
+    Mirrors plot_sol_3_two_models (surrogate_model_Eoff_validation_plot.py:
+    245-358): solid = model A, dashed = model B, one color per condition, two
+    info panels. When y_ref_a / y_ref_b are given (lists of (n_species, n_time)
+    truth on each model's grid), the reference is scattered every
+    `ref_sparsity` points with open ^/s markers like the reference (:308-318).
     """
+    import matplotlib.lines as mlines
+
     colors = ["tab:blue", "tab:orange", "tab:green"]
     fig, axes = plt.subplots(3, 3, figsize=(13, 10))
     axes = axes.flatten()
@@ -78,8 +84,15 @@ def plot_two_model_comparison(
         for c, (ta, ya, tb, yb) in enumerate(
             zip(t_list_a, y_list_a, t_list_b, y_list_b)
         ):
-            ax.plot(np.asarray(ta), np.asarray(ya)[i], "-", color=colors[c], lw=2)
-            ax.plot(np.asarray(tb), np.asarray(yb)[i], "--", color=colors[c], lw=2)
+            ta, tb = np.asarray(ta), np.asarray(tb)
+            ax.plot(ta, np.asarray(ya)[i], "-", color=colors[c], lw=2)
+            ax.plot(tb, np.asarray(yb)[i], "--", color=colors[c], lw=2)
+            if y_ref_a is not None:
+                ax.scatter(ta[::ref_sparsity], np.asarray(y_ref_a[c])[i, ::ref_sparsity],
+                           color=colors[c], marker="^", facecolors="none", s=70)
+            if y_ref_b is not None:
+                ax.scatter(tb[::ref_sparsity], np.asarray(y_ref_b[c])[i, ::ref_sparsity],
+                           color=colors[c], marker="s", facecolors="none", s=70)
         ax.set_title(name)
         ax.set_xlabel("Time [s]")
         ax.set_ylabel("Concentration [mol/m3]")
@@ -88,7 +101,17 @@ def plot_two_model_comparison(
         for c, cond in enumerate(conditions)
     )
     _info_panel(axes[7], cond_txt)
-    _info_panel(axes[8], f"solid: {model_names[0]}\ndashed: {model_names[1]}")
+    handles = [
+        mlines.Line2D([], [], color="black", ls="-", label=f"{model_names[0]} (solid)"),
+        mlines.Line2D([], [], color="black", ls="--", label=f"{model_names[1]} (dashed)"),
+    ]
+    if y_ref_a is not None or y_ref_b is not None:
+        handles.append(
+            mlines.Line2D([], [], color="black", marker="^", ls="None",
+                          markerfacecolor="none", label="reference (truth)")
+        )
+    axes[8].axis("off")
+    axes[8].legend(handles=handles, loc="center", fontsize=12)
     fig.tight_layout()
     return fig
 

@@ -27,7 +27,10 @@ from ..mechanism.arrays import MechanismArrays
 from ..thermo import nasa7
 from .rates import ln_rate_constants, third_body_sensitivities
 
-# max |exponent| fed to exp(); keeps f32 finite and f64 sane
+# max |exponent| fed to exp(): exp(85) ~ 8e36 stays finite in f32 (overflow at
+# ~88) AND in this machine's TPU-emulated f64 (float32 exponent range), while
+# sitting far above any physical rate of progress -- extreme transient states
+# saturate instead of producing inf/NaN
 _EXP_CLIP = 85.0
 
 
@@ -63,13 +66,13 @@ def rates_of_progress(T, P, C, arr: MechanismArrays):
     ln_act_r = lnC @ arr.nu_p.T
     lnKc = ln_equilibrium_constants(T, arr)
 
-    expo_f = jnp.clip(lnk + ln_tb + ln_act_f, -_EXP_CLIP * 10, _EXP_CLIP * 10)
-    Rf = arr.sgnA * jnp.exp(jnp.minimum(expo_f, _EXP_CLIP * 10))
+    expo_f = jnp.clip(lnk + ln_tb + ln_act_f, -_EXP_CLIP, _EXP_CLIP)
+    Rf = arr.sgnA * jnp.exp(expo_f)
     # guard irreversible rows before exp: -lnKc can overflow there
     expo_r = jnp.where(
         arr.reversible > 0, lnk + ln_tb - lnKc + ln_act_r, -jnp.inf
     )
-    Rr = arr.sgnA * jnp.exp(jnp.minimum(expo_r, _EXP_CLIP * 10))
+    Rr = arr.sgnA * jnp.exp(jnp.minimum(expo_r, _EXP_CLIP))
     return Rf, Rr
 
 

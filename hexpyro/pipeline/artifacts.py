@@ -103,6 +103,21 @@ def write_sweep(
     return paths
 
 
+def write_prediction_txt(path: str, t, T, P, L, u0, species) -> None:
+    """Write one deployed-surrogate prediction in the reference layout.
+
+    Columns [t, T, P, L, u0, C1..C_nobs] with P/L/u0 broadcast to the grid,
+    fmt %.6e (surrogate_model_Eon_single_model.py:359-369, file name pattern
+    pred_{MECH}{on|off}_{idx}.txt).
+    """
+    t = np.asarray(t)
+    ones = np.ones_like(t)
+    mat = np.vstack(
+        [t, np.asarray(T) * ones, P * ones, L * ones, u0 * ones, np.asarray(species)]
+    ).T
+    np.savetxt(path, mat, fmt="%.6e")
+
+
 # ---------------------------------------------------------------------------
 # CRNN npz history
 # ---------------------------------------------------------------------------
@@ -118,7 +133,9 @@ def save_crnn_history(path: str, train_loss, valid_loss, parameters, final=None,
         payload["final_parameters"] = np.array(final, dtype=object)
     if updated_p is not None:
         payload["updated_p"] = np.asarray(updated_p)
-    np.savez(path, **payload, allow_pickle=True)
+    # NB: savez has no allow_pickle kwarg (pickling is a load-time decision);
+    # passing one would be saved as a spurious array key
+    np.savez(path, **payload)
 
 
 def load_crnn_parameters(path: str):

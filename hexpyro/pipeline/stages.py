@@ -107,6 +107,7 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     )
 
     paths, n_unconverged = [], 0
+    iters_per_chunk = []  # (n_steps,) Newton iterations, aggregated over chunks
     t_start = time.time()
     chunk = cfg.chunk_size
     for lo in range(0, n, chunk):
@@ -123,8 +124,16 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             u0 = jnp.full((len(sel_p),), 2.5, dtype)
         traj = jax.block_until_ready(fn(T0, P0, L, u0))
         if pad:
-            traj = jax.tree_util.tree_map(lambda x: x[: len(sel)], traj)
+            import dataclasses
+
+            # slice the case axis only; newton_iters is (n_steps,), keep whole
+            traj = dataclasses.replace(
+                traj,
+                **{f: getattr(traj, f)[: len(sel)]
+                   for f in ("t", "T", "P", "Y", "rho", "u", "z", "converged")},
+            )
         n_unconverged += int((~np.asarray(traj.converged)).sum())
+        iters_per_chunk.append(np.asarray(traj.newton_iters))
         paths += artifacts.write_sweep(
             cfg.dataset_dir, mech_tag, cfg.energy_on, traj, arr, tracked,
             offset=lo, include_rho=(cfg.dims == 4),
@@ -133,6 +142,16 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             done = min(lo + chunk, n)
             rate = done / (time.time() - t_start)
             print(f"[simulate] {done}/{n} cases ({rate:.2f} cases/s)", flush=True)
+    iters = np.stack(iters_per_chunk)  # (n_chunks, n_steps)
+    np.savez(
+        f"{cfg.dataset_dir}/solver_diagnostics.npz",
+        newton_iters=iters,
+        mean_iters_per_segment=iters.mean(0),
+        n_unconverged=n_unconverged,
+    )
+    if verbose:
+        print(f"[simulate] Newton iters/segment: mean {iters.mean():.1f} "
+              f"max {iters.max():.0f}")
     if n_unconverged:
         print(f"[simulate] WARNING: {n_unconverged} unconverged cases")
     return paths
@@ -159,14 +178,15 @@ def stage_fit_seed(cfg: PipelineConfig):
     return b, ea
 
 
-def _dataset_paths(cfg: PipelineConfig) -> list[str]:
+def _dataset_paths(cfg: PipelineConfig, n: int | None = None,
+                   dataset_dir: str | None = None) -> list[str]:
     mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
     return [
         os.path.join(
-            cfg.dataset_dir,
+            dataset_dir or cfg.dataset_dir,
             artifacts.trajectory_case_filename(mech_tag, cfg.energy_on, k + 1),
         )
-        for k in range(cfg.n_cases)
+        for k in range(n if n is not None else cfg.n_cases)
     ]
 
 
@@ -219,7 +239,7 @@ def stage_train_profile_mlp(cfg: PipelineConfig, which: str):
     from ..surrogate import mlp as mlp_mod
     from ..training.mlp_trainer import MLPTrainConfig, train_profile_mlp
 
-    cases = lhs.read_cases_csv(cfg.cases_csv)
+    cases = lhs.read_cases_csv(cfg.cases_csv)[: cfg.n_cases]
     paths = _dataset_paths(cfg)
     outputs = []
     for p in paths:
@@ -263,8 +283,18 @@ def stage_train_profile_mlp(cfg: PipelineConfig, which: str):
 
 
 def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
-                 temp_mlp_dir: str | None = None, cases: np.ndarray | None = None):
-    """Compose the surrogate and produce predictions + the metric CSV."""
+                 temp_mlp_dir: str | None = None, cases: np.ndarray | None = None,
+                 dataset_dir: str | None = None, cases_csv: str | None = None,
+                 save_predictions: bool = True, eval_tag: str = ""):
+    """Compose the surrogate and produce predictions + the metric CSV.
+
+    By default evaluates against cfg's own dataset; pass `cases_csv` +
+    `dataset_dir` to evaluate on an INDEPENDENT set (the reference's
+    INDEPENDENT_DATASET_GENERATION flow -- held-out LHS draws with different
+    seeds, evaluated by the deployment scripts). Per-case prediction txt files
+    are written like surrogate_model_Eon_single_model.py:359-369 unless
+    save_predictions=False.
+    """
     _jax_setup(cfg)
     import jax.numpy as jnp
 
@@ -277,12 +307,15 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
     ccfg = config_for(cfg.mechanism if cfg.mechanism in ("LLNL", "JetSurf") else "NUIG",
                       variant=variant, energy_on=cfg.energy_on)
 
+    # Pa scales: deployment passes P0 in Pa, while stage_train_profile_mlp
+    # trains on bar CSV inputs -- both normalize to the same [0,1] coordinates
+    # (round-1 bug: bar scales here fed the MLPs normalized P ~ 5e4)
     time_tag = f"{cfg.mechanism}_4D_time_{'on' if cfg.energy_on else 'off'}"
     time_model = dep.ProfileModel(
         params=artifacts.load_mlp_params_npz(f"{time_mlp_dir}/weights_{time_tag}.npz"),
         out_min=artifacts.load_minmax_scaler(f"{time_mlp_dir}/min_max_{time_tag}.pkl")[0],
         out_max=artifacts.load_minmax_scaler(f"{time_mlp_dir}/min_max_{time_tag}.pkl")[1],
-        input_scale=mlp_mod.INPUT_SCALE_4D,
+        input_scale=mlp_mod.INPUT_SCALE_4D_PA,
     )
     temp_model = None
     if cfg.energy_on:
@@ -292,7 +325,7 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
             params=artifacts.load_mlp_params_npz(f"{tdir}/weights_{ttag}.npz"),
             out_min=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[0],
             out_max=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[1],
-            input_scale=mlp_mod.INPUT_SCALE_2D,
+            input_scale=mlp_mod.INPUT_SCALE_2D_PA,
         )
     model = dep.SurrogateModel(
         w_in=w_in, w_b=w_b, w_out=w_out, cfg=ccfg,
@@ -300,7 +333,7 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
     )
 
     if cases is None:
-        cases = lhs.read_cases_csv(cfg.cases_csv)
+        cases = lhs.read_cases_csv(cases_csv or cfg.cases_csv)
     cases = np.atleast_2d(cases)
     if cases.shape[1] == 2:
         cases = np.concatenate([cases, np.tile([1.0, 2.5], (len(cases), 1))], axis=1)
@@ -309,17 +342,34 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
     L = jnp.asarray(cases[:, 2])
     u0v = jnp.asarray(cases[:, 3])
 
-    # reference truth from the dataset dir
-    paths = _dataset_paths(cfg)[: len(cases)]
+    # reference truth from the (possibly independent) dataset dir
+    paths = _dataset_paths(cfg, n=len(cases), dataset_dir=dataset_dir)
     truth = [artifacts.read_trajectory_txt(p) for p in paths]
 
     species7 = ["H2", "CH4", "C2H4", "C2H6", "C3H6", "C4H8-1", "NC6H14"]
     conds = np.stack([cases[:, 0], cases[:, 1] * 1e5, cases[:, 2], cases[:, 3]], 1)
+    mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
+
+    pred_dir = None
+    if save_predictions:
+        pred_dir = f"{cfg.out_root}/predictions_{mech_tag}_{cfg.mode}{eval_tag}"
+        os.makedirs(pred_dir, exist_ok=True)
+
+    def _save_pred(i, t, Tprof, sp):
+        if pred_dir is None:
+            return
+        artifacts.write_prediction_txt(
+            f"{pred_dir}/pred_{mech_tag}{'on' if cfg.energy_on else 'off'}_{i + 1}.txt",
+            t, Tprof, float(P0[i]), float(L[i]), float(u0v[i]), sp,
+        )
 
     if not cfg.energy_on:
         tgrid, species = model.predict_eoff(T0, P0, L, u0v)
         Y_pred = np.asarray(species)
         Y_true = np.stack([t["C"].T[:7] * 1e3 for t in truth])
+        for i in range(len(cases)):
+            _save_pred(i, np.asarray(tgrid[i]), float(T0[i]), Y_pred[i])
+        df = metric_table(Y_true, Y_pred, species7, conds)
     else:
         tgrid_f, Tprof_f, species_f = model.predict_eon_full(T0, P0)
         Y_pred_list, Y_true_list = [], []
@@ -331,7 +381,8 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
             ref = dep.resample_nearest(truth[i]["t"], truth[i]["C"].T[:7] * 1e3, t_tr)
             Y_pred_list.append(sp_tr)
             Y_true_list.append(ref)
-        # ragged: compute metrics per case below via common code path
+            _save_pred(i, t_tr, T_tr, sp_tr)
+        # ragged per-case trajectories: metric rows computed case by case
         import pandas as pd
 
         from ..evalsuite.metrics import METRIC_COLUMNS, trajectory_metrics
@@ -342,14 +393,11 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
                 m = trajectory_metrics(yt[s], yp[s])
                 rows.append([c + 1, name, *conds[c]] + [m[k] for k in METRIC_COLUMNS[6:]])
         df = pd.DataFrame(rows, columns=METRIC_COLUMNS)
-        out_csv = f"{cfg.out_root}/metrics_{cfg.mechanism}_{cfg.mode}.csv"
-        df.to_csv(out_csv, index=False, float_format="%.6e")
-        print(f"[deploy] metrics -> {out_csv}")
-        return out_csv
 
-    df = metric_table(Y_true, Y_pred, species7, conds)
-    out_csv = f"{cfg.out_root}/metrics_{cfg.mechanism}_{cfg.mode}.csv"
+    out_csv = f"{cfg.out_root}/metrics_{mech_tag}_{cfg.mode}{eval_tag}.csv"
     df.to_csv(out_csv, index=False, float_format="%.6e")
+    if pred_dir:
+        print(f"[deploy] predictions -> {pred_dir}")
     print(f"[deploy] metrics -> {out_csv}")
     return out_csv
 
@@ -383,7 +431,7 @@ def stage_eval_mlp(cfg: PipelineConfig, which: str, mlp_dir: str | None = None,
         input_scale=scale,
     )
 
-    cases = lhs.read_cases_csv(cfg.cases_csv)
+    cases = lhs.read_cases_csv(cfg.cases_csv)[: cfg.n_cases]
     truth = []
     for p in _dataset_paths(cfg):
         d = artifacts.read_trajectory_txt(p)
@@ -413,13 +461,16 @@ def stage_eval_mlp(cfg: PipelineConfig, which: str, mlp_dir: str | None = None,
 def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
                    time_mlp_dir_a: str, time_mlp_dir_b: str,
                    mech_a: str, mech_b: str,
-                   temp_mlp_dirs=(None, None), fig_path: str | None = None):
+                   temp_mlp_dirs=(None, None), fig_path: str | None = None,
+                   dataset_dirs=(None, None)):
     """Two-model comparison figure on three representative conditions.
 
     Mirrors SURROGATE_MODEL/surrogate_model_{Eoff,Eon}_validation_plot.py:
     pick conditions at the sorted-T quartile/median/near-max of the sweep
     (:367-373), run both trained surrogates, and draw the 3x3 species grid
-    (solid vs dashed per model, color per condition).
+    (solid vs dashed per model, color per condition). When dataset_dirs
+    provides per-mechanism truth directories, the Cantera reference is
+    scattered alongside both models (reference :308-318).
     """
     _jax_setup(cfg)
     import jax.numpy as jnp
@@ -439,11 +490,12 @@ def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
         key = mech_name if mech_name in ("LLNL", "JetSurf") else "NUIG"
         ccfg = config_for(key, variant=variant, energy_on=cfg.energy_on)
         ttag = f"{mech_name}_4D_time_{'on' if cfg.energy_on else 'off'}"
+        # _PA scales: this stage converts P0 to Pa below (same as stage_deploy)
         time_model = dep.ProfileModel(
             params=artifacts.load_mlp_params_npz(f"{tdir}/weights_{ttag}.npz"),
             out_min=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[0],
             out_max=artifacts.load_minmax_scaler(f"{tdir}/min_max_{ttag}.pkl")[1],
-            input_scale=mlp_mod.INPUT_SCALE_4D,
+            input_scale=mlp_mod.INPUT_SCALE_4D_PA,
         )
         temp_model = None
         if cfg.energy_on and temp_dir:
@@ -452,7 +504,7 @@ def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
                 params=artifacts.load_mlp_params_npz(f"{temp_dir}/weights_{t2}.npz"),
                 out_min=artifacts.load_minmax_scaler(f"{temp_dir}/min_max_{t2}.pkl")[0],
                 out_max=artifacts.load_minmax_scaler(f"{temp_dir}/min_max_{t2}.pkl")[1],
-                input_scale=mlp_mod.INPUT_SCALE_2D,
+                input_scale=mlp_mod.INPUT_SCALE_2D_PA,
             )
         return dep.SurrogateModel(w_in=w_in, w_b=w_b, w_out=w_out, cfg=ccfg,
                                   time_model=time_model, temp_model=temp_model)
@@ -481,8 +533,26 @@ def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
     ts_a, ys_a = run(model_a)
     ts_b, ys_b = run(model_b)
     conds = [(float(T0[i]), float(P0[i])) for i in range(3)]
+
+    def load_truth(mech_name, ddir, ts):
+        """Truth concentrations resampled onto the model's time grids."""
+        if ddir is None:
+            return None
+        tag = "NUIG" if mech_name.startswith("NUIG") else mech_name
+        refs = []
+        for i, k in enumerate(pick):
+            p = os.path.join(
+                ddir, artifacts.trajectory_case_filename(tag, cfg.energy_on, int(k) + 1)
+            )
+            d = artifacts.read_trajectory_txt(p)
+            refs.append(dep.resample_nearest(d["t"], d["C"].T[:7] * 1e3, np.asarray(ts[i])))
+        return refs
+
+    y_ref_a = load_truth(mech_a, dataset_dirs[0], ts_a)
+    y_ref_b = load_truth(mech_b, dataset_dirs[1], ts_b)
     fig = plots.plot_two_model_comparison(ts_a, ys_a, ts_b, ys_b, conds,
-                                          model_names=(mech_a, mech_b))
+                                          model_names=(mech_a, mech_b),
+                                          y_ref_a=y_ref_a, y_ref_b=y_ref_b)
     fig_path = fig_path or f"{cfg.out_root}/figures/two_model_{mech_a}_vs_{mech_b}_{cfg.mode}.png"
     os.makedirs(os.path.dirname(fig_path), exist_ok=True)
     fig.savefig(fig_path, dpi=120)

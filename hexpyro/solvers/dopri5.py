@@ -115,7 +115,11 @@ def odeint_dopri5(rhs, u0, ts, *, rtol=1e-6, atol=1e-6, max_steps_per_interval=1
     h0 = jnp.maximum((ts[1] - ts[0]) * 0.5, 1e-12)
     carry0 = (ts[0], u0, h0, jnp.ones((), jnp.int32), ys0)
     (tf, uf, hf, idxf, ys), _ = jax.lax.scan(body, carry0, None, length=max_steps)
-    return ys
+    # budget exhausted: unwritten tail rows hold the final state (docstring
+    # contract) instead of the zero init -- zeros would silently distort
+    # training losses on incomplete integrations
+    unreached = jnp.arange(T)[:, None] >= idxf
+    return jnp.where(unreached, uf[None, :], ys)
 
 
 def odeint_dopri5_batch(rhs, u0, ts, **kw):

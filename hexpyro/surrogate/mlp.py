@@ -23,9 +23,13 @@ HIDDEN = 512
 OUTPUT_NODE = 800
 
 # fixed input normalization ranges (temp_profile_model_training_2D.py:38-39 and
-# surrogate_model_Eoff_single_model.py:282-283; pressure in bar for training
-# CSVs, Pa variant used in deployment -- callers pass the matching scale)
+# surrogate_model_Eoff_single_model.py:282-283). Pressure is in BAR in the
+# sampling CSVs (training) and in PA inside deployment; both scale pairs map
+# the same physical pressure to the same normalized value, so a model trained
+# with a bar scale MUST be queried with the _PA scale when the raw input is Pa
+# (reference deploys with [1e5, 3e5]: surrogate_model_Eon_single_model.py:282).
 INPUT_SCALE_2D = np.array([[870.0, 1.0], [1150.0, 3.0]])
+INPUT_SCALE_2D_PA = np.array([[870.0, 1.0e5], [1150.0, 3.0e5]])
 INPUT_SCALE_4D = np.array([[870.0, 1.0, 0.5, 2.5], [1150.0, 3.0, 1.0, 5.0]])
 INPUT_SCALE_4D_PA = np.array([[870.0, 1.0e5, 0.5, 2.5], [1150.0, 3.0e5, 1.0, 5.0]])
 

@@ -33,6 +33,21 @@ class TestPlots:
 
         plt.close(fig)
 
+    def test_two_model_figure_with_truth_scatter(self):
+        """Truth overlays (reference :308-318): scattered points must appear."""
+        t = np.linspace(0, 0.4, 20)
+        ys = [np.random.default_rng(i).random((7, 20)) for i in range(3)]
+        refs = [y * 1.02 for y in ys]
+        fig = plots.plot_two_model_comparison(
+            [t] * 3, ys, [t] * 3, ys, [(1000.0, 2e5), (1050.0, 2e5), (1100.0, 2e5)],
+            model_names=("LLNL", "NUIG"), y_ref_a=refs, y_ref_b=refs, ref_sparsity=4,
+        )
+        # each species axis: 6 lines + 6 scatter collections (3 conds x 2 models)
+        assert len(fig.axes[0].collections) == 6
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
     def test_parity_residual_hist_corner(self):
         import matplotlib.pyplot as plt
 

@@ -1,5 +1,7 @@
 """End-to-end pipeline stage tests on a tiny JetSurf sweep (CPU)."""
 
+import dataclasses
+import glob
 import os
 
 import numpy as np
@@ -48,6 +50,75 @@ class TestStages:
         df = pd.read_csv(out_csv)
         assert len(df) == 16 * 7  # cases x species
         assert np.isfinite(df["RMSE_time_avg"]).all()
+
+        # per-case prediction txt in the reference layout (Eon model :359-369)
+        preds = sorted(glob.glob(f"{cfg.out_root}/predictions_JetSurf_Eoff/*.txt"))
+        assert len(preds) == 16
+        mat = np.loadtxt(preds[0])
+        assert mat.shape == (7, 5 + 7)  # [t, T, P, L, u0, C1..C7]
+
+    def test_deploy_time_grid_unit_consistency(self, tiny_cfg):
+        """Closed-loop units check: a well-trained time-MLP deployed through
+        stage_deploy must reproduce the TRUE time grids it was trained on.
+
+        This is the regression test for the round-1 Pa-vs-bar input-scale bug
+        (stage_deploy fed Pa pressures to MLPs built with bar scales, so the
+        normalized pressure was ~5e4 and the predicted grids were garbage).
+        """
+        cfg = tiny_cfg
+        if not os.path.exists(cfg.cases_csv):
+            stages.stage_sample(cfg)
+            stages.stage_simulate(cfg, verbose=False)
+        # overfit the tiny sweep so MLP error is negligible vs a unit mismatch
+        mlp_dir = stages.stage_train_profile_mlp(cfg.with_overrides(epochs=1500), "time")
+        npz = f"{cfg.out_root}/crnn/training_history_JetSurf_Eoff.npz"
+        stages.stage_deploy(cfg, npz, mlp_dir, eval_tag="_units")
+        preds = sorted(
+            glob.glob(f"{cfg.out_root}/predictions_JetSurf_Eoff_units/*.txt"),
+            key=lambda p: int(p.rsplit("_", 1)[1][:-4]),
+        )
+        rel_errs = []
+        for k, p in enumerate(preds):
+            t_pred = np.loadtxt(p)[:, 0]
+            truth = artifacts.read_trajectory_txt(
+                f"{cfg.dataset_dir}/JetSurf_Eoff_{k + 1}.txt"
+            )
+            rel_errs.append(
+                np.mean(np.abs(t_pred[1:] - truth["t"][1:]) / truth["t"][-1])
+            )
+        # with bar/Pa mixed up this is O(1); a fitted MLP lands well under 5%
+        assert np.median(rel_errs) < 0.05, f"median rel err {np.median(rel_errs):.3f}"
+
+
+class TestEonStages:
+    """End-to-end Eon pipeline: adiabatic sweep -> temp-MLP -> Eon CRNN
+    (substituted profiles) -> deploy with full-geometry + trim flow."""
+
+    def test_eon_pipeline_end_to_end(self, tiny_cfg):
+        cfg = dataclasses.replace(tiny_cfg, energy_on=True)
+        if not os.path.exists(cfg.cases_csv):
+            stages.stage_sample(cfg)
+        paths = stages.stage_simulate(cfg, verbose=False)
+        assert len(paths) == 16
+        d = artifacts.read_trajectory_txt(paths[0])
+        assert not np.allclose(d["T"], d["T"][0])  # adiabatic: T moves
+
+        temp_dir = stages.stage_train_profile_mlp(cfg, "temp")
+        assert os.path.exists(f"{temp_dir}/weights_JetSurf_2D.npz")
+        npz = stages.stage_train_crnn(cfg, temp_mlp_dir=temp_dir)
+        time_dir = stages.stage_train_profile_mlp(cfg, "time")
+
+        out_csv = stages.stage_deploy(cfg, npz, time_dir, temp_mlp_dir=temp_dir)
+        import pandas as pd
+
+        df = pd.read_csv(out_csv)
+        assert len(df) == 16 * 7
+        assert np.isfinite(df["RMSE_time_avg"]).all()
+        preds = sorted(glob.glob(f"{cfg.out_root}/predictions_JetSurf_Eon/*.txt"))
+        assert len(preds) == 16
+        mat = np.loadtxt(preds[0])
+        assert mat.shape[1] == 12  # trimmed grid may be shorter than 7 rows
+        assert np.all(np.isfinite(mat))
 
 
 class TestEonSubstitution:
