@@ -4,15 +4,23 @@ Replaces `torchdiffeq.odeint(..., method='dopri5')` used for the CRNN neural
 ODE (reference: SURROGATE_MODEL_TRAINING/Eoff_surrogate_model_training.py:397,
 SURROGATE_MODEL/surrogate_model_Eoff_single_model.py:185). Like the reference,
 gradients flow by backpropagating through the solver steps
-(discretise-then-optimise), so the integrator is built on a bounded `lax.scan`
+(discretise-then-optimise), so the integrator is built on bounded `lax.scan`s
 with masked accept/reject logic instead of a `while_loop` (which jax cannot
 reverse-differentiate).
 
+Structure (TPU): an outer scan over the T-1 OUTPUT INTERVALS whose per-interval
+result is emitted as scan output, with an inner fixed-budget scan of
+`max_steps_per_interval` adaptive RK steps inside. The output array is never
+carried through the scan -- an earlier design carried the full (T, n) solution
+in the carry, which cost a whole-array copy per RK step and made reverse-mode
+save an O(steps * T * n) residual (OOM at batch 256 on a v5e). The interval
+body is `jax.checkpoint`ed: backward recomputes each interval's few RK steps
+from the (t, u, h) carry, so training memory is O(T) regardless of batch.
+
 The solver lands EXACTLY on every requested output time by clipping the step to
-the next output point -- with the reference's 801-point grids this costs no
-extra steps at the loose training tolerances and avoids dense-output
-interpolants entirely (simpler adjoint graph, fewer ops per step on TPU).
-vmap over trajectories for batched solves.
+the interval end -- with the reference's 801-point grids this costs no extra
+steps at the loose training tolerances and avoids dense-output interpolants
+entirely. vmap over trajectories for batched solves.
 """
 
 from __future__ import annotations
@@ -48,18 +56,20 @@ def odeint_dopri5(rhs, u0, ts, *, rtol=1e-6, atol=1e-6, max_steps_per_interval=1
       rhs: (t, u) -> du/dt, u shape (n,).
       u0: (n,) initial state at ts[0].
       ts: (T,) strictly increasing output times.
-      max_steps_per_interval: scan budget = (T-1) * this.
+      max_steps_per_interval: adaptive-step budget per output interval.
 
     Returns ys (T, n); ys[i] ~ u(ts[i]). Differentiable wrt u0 and any closed-
-    over parameters of rhs. If the step budget runs out the remaining outputs
-    hold the last state (loss gradients then push parameters away from such
-    regions, mirroring torchdiffeq's behavior of failing loudly -- check
-    `jnp.isfinite` downstream if needed).
+    over parameters of rhs. If an interval's step budget runs out, its output
+    is the state reached so far (the remaining span is integrated while
+    chasing the NEXT output times, so a locally exhausted budget lags rather
+    than freezes the trajectory); check `jnp.isfinite`/monotonicity downstream
+    if exactness matters.
     """
     dtype = u0.dtype
-    T = ts.shape[0]
-    n = u0.shape[0]
-    max_steps = (T - 1) * max_steps_per_interval
+    t_end = ts[-1]
+    h_floor = 1e-14 * jnp.maximum(t_end, 1.0)
+    # "reached the target" slack: a few ulps of the target magnitude
+    eps_hit = 32.0 * jnp.finfo(dtype).eps
 
     def rk_step(t, u, h):
         ks = []
@@ -76,50 +86,38 @@ def odeint_dopri5(rhs, u0, ts, *, rtol=1e-6, atol=1e-6, max_steps_per_interval=1
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
         return u5, err_norm
 
-    t_end = ts[-1]
+    @jax.checkpoint
+    def interval(carry, t_target):
+        def step(state, _):
+            t, u, h = state
+            remaining = t_target - t
+            finished = remaining <= eps_hit * jnp.maximum(jnp.abs(t_target), h_floor)
+            h_eff = jnp.maximum(jnp.minimum(h, remaining), h_floor)
+            u_new, err_norm = rk_step(t, u, h_eff)
+            # step-size control is non-differentiable bookkeeping: block
+            # gradients through it (torchdiffeq does the same), otherwise the
+            # err_norm -> h chain injects NaNs (d sqrt at 0)
+            err_norm = jax.lax.stop_gradient(err_norm)
+            accept = jnp.logical_and(err_norm <= 1.0, ~finished)
+            t = jnp.where(accept, t + h_eff, t)
+            u = jnp.where(accept, u_new, u)
+            factor = jnp.clip(
+                _SAFETY * jnp.maximum(err_norm, 1e-10) ** (-0.2),
+                _MIN_FACTOR, _MAX_FACTOR,
+            )
+            clipped = h_eff < h  # shortened only to land on the output time
+            h_accept = jnp.where(clipped, jnp.maximum(h, h_eff * factor), h * factor)
+            h_reject = h_eff * jnp.minimum(factor, 0.9)
+            h_next = jnp.where(accept, h_accept, h_reject)
+            h_next = jax.lax.stop_gradient(jnp.where(finished, h, h_next))
+            return (t, u, h_next), None
 
-    def body(carry, _):
-        t, u, h, idx, ys = carry
-        finished = idx >= T
-        t_target = ts[jnp.minimum(idx, T - 1)]
-        h_eff = jnp.minimum(h, t_target - t)
-        h_eff = jnp.maximum(h_eff, 1e-14 * jnp.maximum(t_end, 1.0))
-        u_new, err_norm = rk_step(t, u, h_eff)
-        # step-size control is non-differentiable bookkeeping: block gradients
-        # through it (torchdiffeq does the same), otherwise the err_norm -> h
-        # chain injects NaNs (d sqrt at 0) and bloats the adjoint graph
-        err_norm = jax.lax.stop_gradient(err_norm)
-        accept = jnp.logical_and(err_norm <= 1.0, ~finished)
+        carry, _ = jax.lax.scan(step, carry, None, length=max_steps_per_interval)
+        return carry, carry[1]
 
-        hit_output = jnp.logical_and(accept, t + h_eff >= t_target - 1e-30)
-        ys = jnp.where(
-            hit_output,
-            ys.at[jnp.minimum(idx, T - 1)].set(u_new),
-            ys,
-        )
-        idx = jnp.where(hit_output, idx + 1, idx)
-        t = jnp.where(accept, t + h_eff, t)
-        u = jnp.where(accept, u_new, u)
-
-        factor = jnp.clip(
-            _SAFETY * jnp.maximum(err_norm, 1e-10) ** (-0.2), _MIN_FACTOR, _MAX_FACTOR
-        )
-        clipped = h_eff < h  # step was shortened only to land on an output time
-        h_accept = jnp.where(clipped, jnp.maximum(h, h_eff * factor), h * factor)
-        h_reject = h_eff * jnp.minimum(factor, 0.9)
-        h_next = jnp.where(accept, h_accept, h_reject)
-        h_next = jax.lax.stop_gradient(jnp.where(finished, h, h_next))
-        return (t, u, h_next, idx, ys), None
-
-    ys0 = jnp.zeros((T, n), dtype).at[0].set(u0)
-    h0 = jnp.maximum((ts[1] - ts[0]) * 0.5, 1e-12)
-    carry0 = (ts[0], u0, h0, jnp.ones((), jnp.int32), ys0)
-    (tf, uf, hf, idxf, ys), _ = jax.lax.scan(body, carry0, None, length=max_steps)
-    # budget exhausted: unwritten tail rows hold the final state (docstring
-    # contract) instead of the zero init -- zeros would silently distort
-    # training losses on incomplete integrations
-    unreached = jnp.arange(T)[:, None] >= idxf
-    return jnp.where(unreached, uf[None, :], ys)
+    h0 = jnp.maximum((ts[1] - ts[0]) * 0.5, h_floor).astype(dtype)
+    (_, _, _), ys_tail = jax.lax.scan(interval, (ts[0], u0, h0), ts[1:])
+    return jnp.concatenate([u0[None], ys_tail], axis=0)
 
 
 def odeint_dopri5_batch(rhs, u0, ts, **kw):
