@@ -30,6 +30,80 @@ import time
 CANTERA_BASELINE_TRAJ_PER_S = 1.25e-3
 
 
+def measure_cpu_baseline(mech_name: str = "NUIGMech1.1", T0: float = 1050.0,
+                         P0: float = 2.0e5) -> dict:
+    """MEASURE the single-core CPU reference-equivalent throughput.
+
+    Cantera is not installed in this image, so the reference's exact stack
+    (CVODES BDF + dense LU per `advance_to_steady_state`, reference
+    simul_data_gene_fix_chain_2D.py:154-160) cannot be timed directly. This
+    measures the same computation with scipy's BDF (also a variable-order BDF
+    with dense Newton/LU) on ONE pseudo-transient segment ODE, single thread,
+    and extrapolates to 800 segments/trajectory. Deliberately
+    Cantera-FRIENDLY: we hand scipy the analytic Jacobian (Cantera uses
+    finite-difference Jacobians, ~ns extra RHS evals per refresh) and charge
+    only one segment's integration-to-steady-state per segment.
+
+    Run via HEXPYRO_BENCH_BASELINE=1 python bench.py.
+    """
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_multi_thread_eigen=false "
+        "intra_op_parallelism_threads=1"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.integrate import solve_ivp
+
+    from hexpyro.mechanism import load_mechanism, to_device_arrays
+    from hexpyro.reactors.cstr import _jac_YY, _rhs_eoff
+    from hexpyro.thermo import nasa7
+
+    mech = load_mechanism(f"/root/reference/DETAILED_KINETIC_MODEL/{mech_name}.yaml")
+    arr = to_device_arrays(mech, dtype=jnp.float64)
+    Y_in = nasa7.mass_fractions_from_composition_string(
+        "NC6H14:1.0, H2O:0.7", mech.species_names, mech.molecular_weights
+    )
+    Tj = jnp.asarray([T0])
+    Pj = jnp.asarray([P0])
+    Yj = jnp.asarray(Y_in)[None, :]
+    rho0 = nasa7.density(Tj, Pj, Yj, arr.mw)
+    dz = 1.0 / 800.0
+    mdot_over_V = rho0 * 2.5 / dz  # reference geometry (L=1, u0=2.5)
+    t_res = float((rho0 / mdot_over_V)[0])
+
+    rhs_j = jax.jit(lambda Y: _rhs_eoff(Y, Tj, Pj, Yj, mdot_over_V, arr))
+    jac_j = jax.jit(lambda Y: _jac_YY(Tj, Pj, Y, mdot_over_V, arr)[0])
+    # pay jit compile OUTSIDE the timing (Cantera's C++ is precompiled)
+    rhs_j(Yj).block_until_ready()
+    jac_j(Yj).block_until_ready()
+
+    def f(t, y):
+        return np.asarray(rhs_j(jnp.asarray(y)[None, :]))[0]
+
+    def jac(t, y):
+        return np.asarray(jac_j(jnp.asarray(y)[None, :]))[0]
+
+    t0 = time.time()
+    sol = solve_ivp(
+        f, (0.0, 50.0 * t_res), np.asarray(Y_in), method="BDF", jac=jac,
+        rtol=1e-6, atol=1e-12,
+    )
+    seg_s = time.time() - t0
+    return {
+        "segment_seconds": seg_s,
+        "traj_per_s": 1.0 / (800.0 * seg_s),
+        "mechanism": mech_name,
+        "solver": "scipy BDF, analytic Jacobian, 1 thread",
+        "ivp_success": bool(sol.success),
+        "nfev": int(sol.nfev),
+        "njev": int(sol.njev),
+    }
+
+
 def run(B: int, n_steps: int, mech_name: str, dtype_name: str) -> dict:
     os.environ.setdefault("HEXPYRO_CACHE", "/root/.cache/hexpyro")
     import jax
@@ -61,13 +135,26 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str) -> dict:
     T0 = jnp.asarray(cases[:, 0], dtype)
     P0 = jnp.asarray(cases[:, 1] * 1e5, dtype)
 
+    # optional solver-option overrides for A/B perf experiments, e.g.
+    # HEXPYRO_BENCH_OPTS='{"ns_precision": "highest", "jac_refresh_every": 3}'
+    opts = None
+    opts_json = os.environ.get("HEXPYRO_BENCH_OPTS")
+    if opts_json:
+        import dataclasses
+
+        from hexpyro.reactors.cstr import default_steady_options
+
+        opts = dataclasses.replace(
+            default_steady_options(dtype), **json.loads(opts_json)
+        )
+
     # production-sized segments: dz = 1/800 m (a prefix of the real reactor),
     # so per-segment cost and continuation difficulty match the full sweep
     length = n_steps / 800.0
     fn = jax.jit(
         lambda T0, P0: simulate_pfr(
             arr, T0, P0, species_names=mech.species_names, n_steps=n_steps,
-            length=length,
+            length=length, opts=opts,
         )
     )
     # compile + warmup
@@ -100,6 +187,9 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str) -> dict:
 
 
 def main() -> None:
+    if os.environ.get("HEXPYRO_BENCH_BASELINE"):
+        print(json.dumps(measure_cpu_baseline()))
+        return
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
     # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the
     # Newton-Schulz-preconditioned solver (0.43 traj/s; B=64 drops to 0.32)

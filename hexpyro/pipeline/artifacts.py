@@ -200,6 +200,25 @@ def load_mlp_params_npz(path: str):
     return out
 
 
+def import_reference_mlp(pth_path: str, pkl_path: str, out_dir: str, tag: str) -> str:
+    """Convert a reference torch .pth + scaler pkl into our MLP dir layout.
+
+    Writes {out_dir}/weights_{tag}.npz + {out_dir}/min_max_{tag}.pkl so the
+    reference's trained profile models (TEMP/TIME_PRED_MODEL_PARAMETER_CONTAINER)
+    plug directly into stage_deploy / stage_validate -- a user of the reference
+    can deploy their existing artifacts on TPU unchanged.
+    """
+    from ..surrogate import mlp as mlp_mod
+
+    sd = load_torch_mlp_state_dict(pth_path)
+    params = mlp_mod.load_torch_weights(sd)
+    os.makedirs(out_dir, exist_ok=True)
+    save_mlp_params(f"{out_dir}/weights_{tag}.npz", params)
+    lo, hi = load_minmax_scaler(pkl_path)
+    save_minmax_scaler(f"{out_dir}/min_max_{tag}.pkl", lo, hi)
+    return out_dir
+
+
 def load_torch_mlp_state_dict(path: str):
     """Read a reference .pth MLP checkpoint (torch-cpu) -> numpy dict.
 

@@ -76,6 +76,12 @@ class SteadyOptions:
     linear_solver: str = "lu"
     ns_iters: int = 2
     richardson_iters: int = 3
+    # matmul precision of the Newton-Schulz preconditioner updates/applies.
+    # "default" (bf16 MXU passes) is admissible -- X only needs ~1 digit and
+    # convergence is judged on the exact residual -- but MEASURED SLOWER on
+    # NUIG B=16: 0.456 traj/s vs 0.481 at "highest" (the cheaper matmuls are
+    # offset by extra Newton iterations from the poorer preconditioner)
+    ns_precision: str = "highest"
     T_min: float = 250.0
     T_max: float = 3500.0
     dT_max: float = 150.0  # per-Newton-step temperature trust region [K]
@@ -186,7 +192,8 @@ def solve_steady_eoff(
         J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr)
         A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
         fac = (
-            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters)
+            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters,
+                             precision=opts.ns_precision)
             if use_ns
             else factorize(A)
         )
@@ -208,7 +215,8 @@ def solve_steady_eoff(
             (state["Y"], state["dtau"], state["fac"]),
         )
         delta = (
-            ns_solve(fac, state["g"], iters=opts.richardson_iters)
+            ns_solve(fac, state["g"], iters=opts.richardson_iters,
+                     precision=opts.ns_precision)
             if use_ns
             else solve_factored(fac, state["g"])
         )
@@ -353,7 +361,8 @@ def solve_steady_eon(
         Js = J * D[None, None, :]
         A = jnp.eye(n, dtype=dtype) / dtau[:, None, None] - Js
         fac = (
-            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters)
+            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters,
+                             precision=opts.ns_precision)
             if use_ns
             else factorize(A)
         )
@@ -373,7 +382,8 @@ def solve_steady_eon(
             (state["Y"], state["T"], state["dtau"], state["fac"]),
         )
         delta = (
-            ns_solve(fac, state["g"], iters=opts.richardson_iters)
+            ns_solve(fac, state["g"], iters=opts.richardson_iters,
+                     precision=opts.ns_precision)
             if use_ns
             else solve_factored(fac, state["g"])
         ) * D[None, :]

@@ -92,17 +92,24 @@ def inverse_init(A):
     return jax.scipy.linalg.lu_solve((lu, piv), eye).astype(A.dtype)
 
 
-def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9):
+def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
+                    precision=None):
     """Newton-Schulz update of X toward A^-1, with LU rescue on divergence.
 
-    Returns (X_new, resid) where resid (B,) = max|I - A X| row-sum estimate.
+    `precision` is the matmul precision for the NS updates: a preconditioner
+    only needs ~1 digit of quality (Richardson converges whenever
+    ||I - A X|| < 1), so bf16-speed DEFAULT matmuls are admissible here even
+    though the kinetics path requires HIGHEST (see bench.py) -- convergence is
+    always declared on the exact residual computed outside this module.
     """
     B, n, _ = A.shape
     eye = jnp.eye(n, dtype=A.dtype)
 
     def ns_step(X):
-        E = eye - jnp.matmul(A, X, preferred_element_type=A.dtype)
-        return X + jnp.matmul(X, E, preferred_element_type=A.dtype), E
+        E = eye - jnp.matmul(A, X, precision=precision,
+                             preferred_element_type=A.dtype)
+        return X + jnp.matmul(X, E, precision=precision,
+                              preferred_element_type=A.dtype), E
 
     for _ in range(ns_iters):
         X, E = ns_step(X)
@@ -112,12 +119,17 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9):
     return X
 
 
-def precond_solve(X, A, b, iters: int = 3):
-    """Richardson iteration preconditioned by X ~= A^-1 (n^2 matvecs)."""
-    x = jnp.einsum("bij,bj->bi", X, b)
+def precond_solve(X, A, b, iters: int = 3, precision=None):
+    """Richardson iteration preconditioned by X ~= A^-1 (n^2 matvecs).
+
+    The X-apply matvecs may run at reduced `precision` (preconditioner
+    quality); the residual matvec r = b - A x keeps full precision so the
+    returned solution is as good as the iteration allows.
+    """
+    x = jnp.einsum("bij,bj->bi", X, b, precision=precision)
     for _ in range(iters):
         r = b - jnp.einsum("bij,bj->bi", A, x)
-        x = x + jnp.einsum("bij,bj->bi", X, r)
+        x = x + jnp.einsum("bij,bj->bi", X, r, precision=precision)
     return x
 
 
@@ -136,7 +148,7 @@ def ns_init_state(B: int, n: int, dtype) -> NSInverse:
     return NSInverse(X=z, As=z, r=one, c=one)
 
 
-def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2) -> NSInverse:
+def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None) -> NSInverse:
     """Re-equilibrate a new A and NS-update X (rescaled across scale changes).
 
     As_new^-1 = diag(c_old/c_new) As_old^-1 diag(r_old/r_new); starting from the
@@ -145,11 +157,11 @@ def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2) -> NSInverse:
     """
     As, r, c = equilibrate(A)
     X0 = st.X * (st.c / c)[:, :, None] * (st.r / r)[:, None, :]
-    X = inverse_refresh(X0, As, ns_iters=ns_iters)
+    X = inverse_refresh(X0, As, ns_iters=ns_iters, precision=precision)
     return NSInverse(X=X, As=As, r=r, c=c)
 
 
-def ns_solve(st: NSInverse, b, iters: int = 3):
+def ns_solve(st: NSInverse, b, iters: int = 3, precision=None):
     """Solve A x = b with the carried preconditioner (n^2 matvecs only)."""
-    y = precond_solve(st.X, st.As, b * st.r, iters=iters)
+    y = precond_solve(st.X, st.As, b * st.r, iters=iters, precision=precision)
     return y * st.c
