@@ -76,6 +76,7 @@ class SteadyOptions:
     linear_solver: str = "lu"
     ns_iters: int = 2
     richardson_iters: int = 3
+    jac_chunk: int = 8  # batch-chunking of the (chunk, nr, ns) Jacobian build
     # matmul precision of the Newton-Schulz preconditioner updates/applies.
     # "default" (bf16 MXU passes) is admissible -- X only needs ~1 digit and
     # convergence is judged on the exact residual -- but MEASURED SLOWER on
@@ -131,7 +132,7 @@ def _rhs_eon(Y, T, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays):
     return gY, gT
 
 
-def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays):
+def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays, chunk: int = 8):
     """Approximate d(dY/dt)/dY: exact wdot Jacobian + ideal-gas C(Y) chain rule.
 
     C_i = rho Y_i / W_i with rho = P Wbar/(R T), dC_i/dY_m = rho delta/W_i
@@ -139,7 +140,7 @@ def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays):
     """
     rho = nasa7.density(T, P0, Y, arr.mw)
     C = rho[:, None] * Y / arr.mw
-    w, Jw = wdot_and_jacobian(T, P0, C, arr)
+    w, Jw = wdot_and_jacobian(T, P0, C, arr, chunk=chunk)
     wbar = nasa7.mean_molecular_weight(Y, arr.mw)
     inv_rho = 1.0 / rho
     flow = mdot_over_V * inv_rho  # (B,)
@@ -189,7 +190,7 @@ def solve_steady_eoff(
     use_ns = opts.linear_solver == "nsinv"
 
     def build_fac(Y, dtau, prev_fac):
-        J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr)
+        J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk)
         A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
         fac = (
             ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters,
@@ -331,7 +332,7 @@ def solve_steady_eon(
     use_ns = opts.linear_solver == "nsinv"
 
     def build_fac(Y, T, dtau, prev_fac):
-        J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr)
+        J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk)
         inv_rho = 1.0 / rho
         flow = mdot_over_V * inv_rho
         gY = flow[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]

@@ -113,7 +113,12 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
 
     for _ in range(ns_iters):
         X, E = ns_step(X)
-    resid = jnp.max(jnp.abs(E), axis=(1, 2)) * n  # cheap row-sum-ish bound
+    # TRUE induced infinity norm ||I - A X||_inf (max abs row sum): Richardson
+    # converges iff this is < 1. An earlier max|E|*n bound overestimated by up
+    # to n and made the LU rescue fire on virtually EVERY refresh at NUIG size
+    # (traced on v5e: 124/124 refreshes ran the column-sequential LU), hiding
+    # the whole point of the matmul-only path.
+    resid = jnp.max(jnp.sum(jnp.abs(E), axis=2), axis=1)
     bad = jnp.any(~jnp.isfinite(resid)) | jnp.any(resid > bad_threshold)
     X = jax.lax.cond(bad, lambda _: inverse_init(A), lambda _: X, None)
     return X

@@ -256,13 +256,16 @@ def train_crnn(
 
 def _save(path, history, p, final=False):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # updated_p is written at EVERY checkpoint (the reference writes it only in
+    # the final record) so an interrupted run resumes from the latest epoch,
+    # not from nothing; consumers still read parameters[-1] as before
     artifacts.save_crnn_history(
         path,
         history["train_loss"],
         history["valid_loss"],
         history["parameters"],
         final=history["parameters"][-1] if final else None,
-        updated_p=np.asarray(p) if final else None,
+        updated_p=np.asarray(p),
     )
 
 
