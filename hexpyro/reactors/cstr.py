@@ -76,6 +76,13 @@ class SteadyOptions:
     linear_solver: str = "lu"
     ns_iters: int = 2
     richardson_iters: int = 3
+    # allow the expensive LU rescue of the NS preconditioner only on every Kth
+    # Jacobian refresh (1 = every refresh). At NUIG conditioning the carried X
+    # fails the ||I - A X||_inf < 1 check on nearly every refresh, so K=1 makes
+    # the de facto algorithm explicit-LU-inverse per refresh; larger K trades
+    # preconditioner quality (extra matmul-cheap Newton iterations) for fewer
+    # column-sequential LUs. Non-finite X always rescues regardless of K.
+    ns_rescue_every: int = 1
     jac_chunk: int = 8  # batch-chunking of the (chunk, nr, ns) Jacobian build
     # matmul precision of the Newton-Schulz preconditioner updates/applies.
     # "default" (bf16 MXU passes) is admissible -- X only needs ~1 digit and
@@ -159,7 +166,7 @@ def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays, chunk: int = 8):
 
 def solve_steady_eoff(
     Y_guess, T0, P0, Y_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions,
-    dtau0=None,
+    dtau0=None, fac0=None,
 ):
     """Batched steady state of isothermal CSTR segments.
 
@@ -189,12 +196,13 @@ def solve_steady_eoff(
 
     use_ns = opts.linear_solver == "nsinv"
 
-    def build_fac(Y, dtau, prev_fac):
+    def build_fac(Y, dtau, prev_fac, nref):
         J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk)
         A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
         fac = (
             ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters,
-                             precision=opts.ns_precision)
+                             precision=opts.ns_precision,
+                             allow_rescue=(nref % opts.ns_rescue_every == 0))
             if use_ns
             else factorize(A)
         )
@@ -213,7 +221,7 @@ def solve_steady_eoff(
             refresh,
             lambda args: build_fac(*args),
             lambda args: (state["fac"], state["diagJ"]),
-            (state["Y"], state["dtau"], state["fac"]),
+            (state["Y"], state["dtau"], state["fac"], state["nref"]),
         )
         delta = (
             ns_solve(fac, state["g"], iters=opts.richardson_iters,
@@ -254,6 +262,7 @@ def solve_steady_eoff(
             "best": jnp.where(done, state["best"], best_new),
             "bad": jnp.where(done, state["bad"], bad_new),
             "it": state["it"] + 1,
+            "nref": state["nref"] + refresh.astype(jnp.int32),
             "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
             "done": jnp.logical_or(done, newly_done),
         }
@@ -266,7 +275,7 @@ def solve_steady_eoff(
     # step land in a spurious basin (observed: adiabatic T escaping to T_max)
     gnorm0 = resid_norm(g0, Y_guess, jnp.zeros((B, ns), dtype))
     dummy_fac = (
-        ns_init_state(B, ns, dtype)
+        (fac0 if fac0 is not None else ns_init_state(B, ns, dtype))
         if use_ns
         else Factorization(
             lu=jnp.zeros((B, ns, ns), jnp.float32),
@@ -286,6 +295,7 @@ def solve_steady_eoff(
         "best": jnp.full((B,), jnp.inf, dtype),
         "bad": jnp.zeros((B,), jnp.int32),
         "it": jnp.zeros((), jnp.int32),
+        "nref": jnp.zeros((), jnp.int32),
         "rejected": jnp.zeros((), bool),
         "done": jnp.zeros((B,), bool),
     }
@@ -295,12 +305,16 @@ def solve_steady_eoff(
         "resid": out["gnorm"],
         "converged": out["done"],
         "dtau": out["dtau"],
+        # carried NS preconditioner (None for "lu"): seeding the NEXT segment's
+        # solve with this avoids the bootstrap LU rescue there (continuation:
+        # successive segment Jacobians differ little)
+        "fac": out["fac"] if use_ns else None,
     }
 
 
 def solve_steady_eon(
     Y_guess, T_guess, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions,
-    dtau0=None,
+    dtau0=None, fac0=None,
 ):
     """Batched steady state of adiabatic CSTR segments (unknowns Y and T).
 
@@ -331,7 +345,7 @@ def solve_steady_eon(
 
     use_ns = opts.linear_solver == "nsinv"
 
-    def build_fac(Y, T, dtau, prev_fac):
+    def build_fac(Y, T, dtau, prev_fac, nref):
         J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk)
         inv_rho = 1.0 / rho
         flow = mdot_over_V * inv_rho
@@ -363,7 +377,8 @@ def solve_steady_eon(
         A = jnp.eye(n, dtype=dtype) / dtau[:, None, None] - Js
         fac = (
             ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters,
-                             precision=opts.ns_precision)
+                             precision=opts.ns_precision,
+                             allow_rescue=(nref % opts.ns_rescue_every == 0))
             if use_ns
             else factorize(A)
         )
@@ -380,7 +395,7 @@ def solve_steady_eon(
             refresh,
             lambda args: build_fac(*args),
             lambda args: (state["fac"], state["diagJ"]),
-            (state["Y"], state["T"], state["dtau"], state["fac"]),
+            (state["Y"], state["T"], state["dtau"], state["fac"], state["nref"]),
         )
         delta = (
             ns_solve(fac, state["g"], iters=opts.richardson_iters,
@@ -422,6 +437,7 @@ def solve_steady_eon(
             "best": jnp.where(done, state["best"], best_new),
             "bad": jnp.where(done, state["bad"], bad_new),
             "it": state["it"] + 1,
+            "nref": state["nref"] + refresh.astype(jnp.int32),
             "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
             "done": jnp.logical_or(done, newly_done),
         }
@@ -431,7 +447,7 @@ def solve_steady_eon(
     g0 = rhs(Y_guess, T_guess)
     gnorm0 = resid_norm(g0, Y_guess, T_guess, jnp.zeros((B, ns), dtype))
     dummy_fac = (
-        ns_init_state(B, n, dtype)
+        (fac0 if fac0 is not None else ns_init_state(B, n, dtype))
         if use_ns
         else Factorization(
             lu=jnp.zeros((B, n, n), jnp.float32),
@@ -452,6 +468,7 @@ def solve_steady_eon(
         "best": jnp.full((B,), jnp.inf, dtype),
         "bad": jnp.zeros((B,), jnp.int32),
         "it": jnp.zeros((), jnp.int32),
+        "nref": jnp.zeros((), jnp.int32),
         "rejected": jnp.zeros((), bool),
         "done": jnp.zeros((B,), bool),
     }
@@ -461,4 +478,5 @@ def solve_steady_eon(
         "resid": out["gnorm"],
         "converged": out["done"],
         "dtau": out["dtau"],
+        "fac": out["fac"] if use_ns else None,
     }

@@ -127,26 +127,42 @@ def simulate_pfr(
         Y_start, T_start = Y_feed, T0
         dtau_start = jnp.full((B,), opts.dtau0_frac, dtype) * t_res0
 
+    # the NS preconditioner is CARRIED across segments: successive segment
+    # Jacobians differ only by the per-segment state increment (continuation),
+    # so the previous segment's inverse is an excellent NS seed and the
+    # column-sequential LU rescue fires only when conditioning genuinely
+    # defeats Newton-Schulz -- not (as a per-segment cold X would force) on
+    # every segment's first refresh
+    use_ns = opts.linear_solver == "nsinv"
+    n_sys = arr.n_species + 1 if energy_on else arr.n_species
+    from ..solvers.linalg import ns_init_state
+
+    fac_start = ns_init_state(B, n_sys, dtype) if use_ns else None
+
     def segment(carry, _):
-        Y_prev, T_prev, dtau_prev = carry
+        Y_prev, T_prev, dtau_prev, fac_prev = carry
         dtau0 = jnp.minimum(dtau_prev, opts.dtau_carry_max_frac * t_res0)
         if energy_on:
             h_in = nasa7.enthalpy_mass(T_prev, Y_prev, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
             Y, T, info = solve_steady_eon(
-                Y_prev, T_prev, P0, Y_prev, h_in, mdot_over_V, arr, opts, dtau0=dtau0
+                Y_prev, T_prev, P0, Y_prev, h_in, mdot_over_V, arr, opts,
+                dtau0=dtau0, fac0=fac_prev,
             )
         else:
             Y, info = solve_steady_eoff(
-                Y_prev, T0, P0, Y_prev, mdot_over_V, arr, opts, dtau0=dtau0
+                Y_prev, T0, P0, Y_prev, mdot_over_V, arr, opts,
+                dtau0=dtau0, fac0=fac_prev,
             )
             T = T_prev
         rho = nasa7.density(T, P0, Y, arr.mw)
         t_r = rho / mdot_over_V  # rho V / mdot
         u = mdot_over_A / rho
-        return (Y, T, info["dtau"]), (Y, T, rho, t_r, u, info["converged"], info["iterations"])
+        return (Y, T, info["dtau"], info["fac"]), (
+            Y, T, rho, t_r, u, info["converged"], info["iterations"]
+        )
 
-    (Yf, Tf, dtau_f), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
-        segment, (Y_start, T_start, dtau_start), None, length=n_steps
+    (Yf, Tf, dtau_f, _), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
+        segment, (Y_start, T_start, dtau_start, fac_start), None, length=n_steps
     )
     # stack the window's inlet state as grid point 0
     rho_start = nasa7.density(T_start, P0, Y_start, arr.mw)

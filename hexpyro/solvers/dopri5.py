@@ -70,6 +70,12 @@ def odeint_dopri5(rhs, u0, ts, *, rtol=1e-6, atol=1e-6, max_steps_per_interval=1
     h_floor = 1e-14 * jnp.maximum(t_end, 1.0)
     # "reached the target" slack: a few ulps of the target magnitude
     eps_hit = 32.0 * jnp.finfo(dtype).eps
+    # tableau constants at the state dtype: the module-level arrays are f64
+    # when x64 is enabled at import, and an f64 @ f32 matmul would promote the
+    # scan carry (TypeError) / silently upcast the whole solve
+    c_t = _C.astype(dtype)
+    b5 = _B5.astype(dtype)
+    b4 = _B4.astype(dtype)
 
     def rk_step(t, u, h):
         ks = []
@@ -77,10 +83,10 @@ def odeint_dopri5(rhs, u0, ts, *, rtol=1e-6, atol=1e-6, max_steps_per_interval=1
             ui = u
             for j, a in enumerate(_A[i]):
                 ui = ui + h * a * ks[j]
-            ks.append(rhs(t + _C[i] * h, ui))
+            ks.append(rhs(t + c_t[i] * h, ui))
         k = jnp.stack(ks)  # (7, n)
-        u5 = u + h * (_B5 @ k)
-        u4 = u + h * (_B4 @ k)
+        u5 = u + h * (b5 @ k)
+        u4 = u + h * (b4 @ k)
         err = u5 - u4
         scale = atol + rtol * jnp.maximum(jnp.abs(u), jnp.abs(u5))
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))

@@ -93,7 +93,7 @@ def inverse_init(A):
 
 
 def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
-                    precision=None):
+                    precision=None, allow_rescue=True):
     """Newton-Schulz update of X toward A^-1, with LU rescue on divergence.
 
     `precision` is the matmul precision for the NS updates: a preconditioner
@@ -119,7 +119,14 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
     # (traced on v5e: 124/124 refreshes ran the column-sequential LU), hiding
     # the whole point of the matmul-only path.
     resid = jnp.max(jnp.sum(jnp.abs(E), axis=2), axis=1)
-    bad = jnp.any(~jnp.isfinite(resid)) | jnp.any(resid > bad_threshold)
+    # hard failure (always rescue): non-finite X, or resid >= 1 where both NS
+    # and Richardson are formally divergent (a zero/fresh X gives resid == 1);
+    # soft failure (rescue only when `allow_rescue`): the quality band between
+    # bad_threshold and 1, where Richardson still contracts, just slowly --
+    # suppressing those rescues trades Newton iterations for LU kernels
+    hard = jnp.any(~jnp.isfinite(resid)) | jnp.any(resid >= 1.0)
+    soft = jnp.any(resid > bad_threshold)
+    bad = hard | (soft & jnp.asarray(allow_rescue))
     X = jax.lax.cond(bad, lambda _: inverse_init(A), lambda _: X, None)
     return X
 
@@ -153,16 +160,20 @@ def ns_init_state(B: int, n: int, dtype) -> NSInverse:
     return NSInverse(X=z, As=z, r=one, c=one)
 
 
-def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None) -> NSInverse:
+def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None,
+                     allow_rescue=True) -> NSInverse:
     """Re-equilibrate a new A and NS-update X (rescaled across scale changes).
 
     As_new^-1 = diag(c_old/c_new) As_old^-1 diag(r_old/r_new); starting from the
     rescaled old X, a couple of Newton-Schulz matmul steps re-converge it. A
-    zero/diverged X triggers the in-refresh LU rescue automatically.
+    zero/diverged X triggers the in-refresh LU rescue automatically;
+    `allow_rescue` (python or traced bool) can suppress the quality-based
+    rescue for refreshes where a weaker preconditioner is acceptable.
     """
     As, r, c = equilibrate(A)
     X0 = st.X * (st.c / c)[:, :, None] * (st.r / r)[:, None, :]
-    X = inverse_refresh(X0, As, ns_iters=ns_iters, precision=precision)
+    X = inverse_refresh(X0, As, ns_iters=ns_iters, precision=precision,
+                        allow_rescue=allow_rescue)
     return NSInverse(X=X, As=As, r=r, c=c)
 
 

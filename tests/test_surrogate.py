@@ -158,7 +158,9 @@ class TestTrainers:
             yscale=np.clip(ylabel.max(2) - ylabel.min(2), 1e-6, None),
         )
         p0 = init_parameters(2, cfg)  # different seed
-        tcfg = CRNNTrainConfig(epochs=6, batch_size=4, learning_rate=2e-3)
+        # f64: the CPU verification profile (f32 converges on the real flagship
+        # data but takes a different, slower trajectory on this tiny synthetic)
+        tcfg = CRNNTrainConfig(epochs=6, batch_size=4, learning_rate=2e-3, dtype="f64")
         p, hist = train_crnn(p0, ds, cfg, tcfg, verbose=False)
         assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.7
         assert np.isfinite(hist["train_loss"]).all()
