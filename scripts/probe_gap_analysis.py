@@ -77,45 +77,54 @@ def scipy_solve(T, t_end, rtol=1e-8, atol=1e-14):
     return sol.y[:, -1]
 
 
+SECTIONS = sys.argv[2].split(",") if len(sys.argv) > 2 else ["csv", "ours", "dtscan"]
 sel = np.linspace(0, len(T_csv) - 1, 4).astype(int)
-print(f"== {MECH}: scipy-BDF first-interval rate vs checked-in CSV (dt={DT:g}) ==")
-ratios = []
-for i in sel:
-    T = float(T_csv[i])
-    Y1 = scipy_solve(T, DT)
-    C0 = c_hex(T, np.eye(ns)[i_hex])
-    C1 = c_hex(T, Y1)
-    r = abs(C1 - C0) / DT
-    ratios.append(r / rate_csv[i])
-    print(f"T={T:7.1f}  scipy={r:.6e}  csv={rate_csv[i]:.6e}  ratio={r / rate_csv[i]:.4f}", flush=True)
-print(f"ratio scipy/csv: min {min(ratios):.3f} max {max(ratios):.3f}")
 
-# our integrator vs scipy at the same dt (integrator check)
-print("\n== advance_batch vs scipy at dt=1e-4 (rate ratio ours/scipy) ==")
-Tsel = np.array([float(T_csv[i]) for i in sel])
-Y0b = np.zeros((len(sel), ns))
-Y0b[:, i_hex] = 1.0
-Yb, done = advance_batch(
-    arr, jnp.asarray(Y0b), jnp.asarray(Tsel), jnp.full(len(sel), P), DT,
-    BatchOptions(rtol=1e-6, atol=1e-12),
-)
-for j, i in enumerate(sel):
-    T = float(T_csv[i])
-    C0 = c_hex(T, np.eye(ns)[i_hex])
-    C1o = c_hex(T, np.asarray(Yb[j]))
-    Y1 = scipy_solve(T, DT)
-    C1s = c_hex(T, Y1)
-    ro, rs = abs(C1o - C0) / DT, abs(C1s - C0) / DT
-    print(f"T={T:7.1f}  ours={ro:.6e}  scipy={rs:.6e}  ratio={ro / rs:.5f}")
-
-# dt-scan hypothesis: does some other first-interval length reproduce the CSV?
-print("\n== dt scan (scipy rate / csv rate), per dt candidate ==")
-for dt in (2e-5, 5e-5, 2e-4, 1e-3):
-    rr = []
-    for i in sel[1:3]:
+if "csv" in SECTIONS:
+    print(f"== {MECH}: scipy-BDF first-interval rate vs checked-in CSV (dt={DT:g}) ==")
+    ratios = []
+    for i in sel:
         T = float(T_csv[i])
-        Y1 = scipy_solve(T, dt)
+        Y1 = scipy_solve(T, DT)
         C0 = c_hex(T, np.eye(ns)[i_hex])
-        r = abs(c_hex(T, Y1) - C0) / dt
-        rr.append(r / rate_csv[i])
-    print(f"dt={dt:8.2e}  ratio min {min(rr):.3f} max {max(rr):.3f} mean {np.mean(rr):.3f}")
+        C1 = c_hex(T, Y1)
+        r = abs(C1 - C0) / DT
+        ratios.append(r / rate_csv[i])
+        print(f"T={T:7.1f}  scipy={r:.6e}  csv={rate_csv[i]:.6e}  "
+              f"ratio={r / rate_csv[i]:.4f}", flush=True)
+    print(f"ratio scipy/csv: min {min(ratios):.3f} max {max(ratios):.3f}")
+
+if "ours" in SECTIONS:
+    # our integrator vs scipy at the same dt (integrator check)
+    print("\n== advance_batch vs scipy at dt=1e-4 (rate ratio ours/scipy) ==", flush=True)
+    Tsel = np.array([float(T_csv[i]) for i in sel])
+    Y0b = np.zeros((len(sel), ns))
+    Y0b[:, i_hex] = 1.0
+    Yb, done = advance_batch(
+        arr, jnp.asarray(Y0b), jnp.asarray(Tsel), jnp.full(len(sel), P), DT,
+        BatchOptions(rtol=1e-6, atol=1e-12),
+    )
+    for j, i in enumerate(sel):
+        T = float(T_csv[i])
+        C0 = c_hex(T, np.eye(ns)[i_hex])
+        C1o = c_hex(T, np.asarray(Yb[j]))
+        Y1 = scipy_solve(T, DT)
+        C1s = c_hex(T, Y1)
+        ro, rs = abs(C1o - C0) / DT, abs(C1s - C0) / DT
+        print(f"T={T:7.1f}  ours={ro:.6e}  scipy={rs:.6e}  ratio={ro / rs:.5f}", flush=True)
+
+if "dtscan" in SECTIONS:
+    # dt-scan hypothesis: does some other first-interval length reproduce the
+    # CSV? dt=1e-3 doubles as the "mean rate over the whole 10-interval probe"
+    # hypothesis |C(t_total) - C0| / t_total.
+    print("\n== dt scan (scipy rate / csv rate), per dt candidate ==", flush=True)
+    for dt in (2e-5, 5e-5, 2e-4, 1e-3):
+        rr = []
+        for i in sel[1:3]:
+            T = float(T_csv[i])
+            Y1 = scipy_solve(T, dt)
+            C0 = c_hex(T, np.eye(ns)[i_hex])
+            r = abs(c_hex(T, Y1) - C0) / dt
+            rr.append(r / rate_csv[i])
+        print(f"dt={dt:8.2e}  ratio min {min(rr):.3f} max {max(rr):.3f} "
+              f"mean {np.mean(rr):.3f}", flush=True)
