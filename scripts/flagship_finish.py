@@ -24,43 +24,61 @@ from hexpyro.pipeline.config import PipelineConfig
 
 
 def main():
-    cfg = PipelineConfig(mechanism="JetSurf", n_cases=800, out_root="runs/flagship")
-    npz = f"{cfg.out_root}/crnn/training_history_JetSurf_Eoff.npz"
-    time_dir = f"{cfg.out_root}/time_mlp"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "eoff"
+    mech = sys.argv[2] if len(sys.argv) > 2 else "JetSurf"
+    mech_tag = "NUIG" if mech.startswith("NUIG") else mech
+    energy_on = mode == "eon"
+    suffix = {"JetSurf": "", "NUIGMech1.1": "_nuig", "LLNL": "_llnl"}[mech]
+    root = f"runs/flagship{'_eon' if energy_on else ''}{suffix}" \
+        if mech == "JetSurf" else f"runs/flagship{suffix}"
+    indep = f"runs/independent{'_eon' if energy_on else ''}{suffix}" \
+        if mech == "JetSurf" else f"runs/independent{suffix}"
+    cfg = PipelineConfig(mechanism=mech, n_cases=800, out_root=root,
+                         energy_on=energy_on)
+    m = "Eon" if energy_on else "Eoff"
+    npz = f"{root}/crnn/training_history_{mech_tag}_{m}.npz"
+    time_dir = f"{root}/time_mlp"
+    temp_dir = f"{root}/temp_mlp" if energy_on else None
 
     tr, va = artifacts.load_crnn_history_losses(npz)
     print(f"CRNN epochs={len(tr)} final train={tr[-1]:.6f} valid={va[-1]:.6f}")
 
     # 1. deploy on the training sweep (the reference's own-data evaluation)
-    train_csv = stages.stage_deploy(cfg, npz, time_dir)
+    train_csv = stages.stage_deploy(cfg, npz, time_dir, temp_mlp_dir=temp_dir)
 
     # 2. deploy on the independent sweep (held-out LHS, seed 12984)
     indep_csv = stages.stage_deploy(
-        cfg, npz, time_dir,
-        dataset_dir="runs/independent/datasets/2D_off",
-        cases=np.loadtxt("runs/independent/sampling_case_2D.csv", delimiter=",")[:400],
+        cfg, npz, time_dir, temp_mlp_dir=temp_dir,
+        dataset_dir=f"{indep}/datasets/2D_{'on' if energy_on else 'off'}",
+        cases=np.loadtxt(f"{indep}/sampling_case_2D.csv", delimiter=",")[:400],
         eval_tag="_independent",
     )
 
-    # 3. time-MLP eval figures
+    # 3. profile-MLP eval figures
     stages.stage_eval_mlp(cfg, "time")
+    if energy_on:
+        stages.stage_eval_mlp(cfg, "temp")
 
     # 4. package into examples/
-    ex = "examples/flagship_jetsurf_800"
+    ex = f"examples/flagship_{mech_tag.lower()}_800{'_eon' if energy_on else ''}"
     os.makedirs(ex, exist_ok=True)
     os.makedirs(f"{ex}/figures", exist_ok=True)
     shutil.copy(npz, ex)
-    shutil.copy(f"{time_dir}/weights_JetSurf_4D_time_off.npz", ex)
-    shutil.copy(f"{time_dir}/min_max_JetSurf_4D_time_off.pkl", ex)
-    shutil.copy(train_csv, f"{ex}/metrics_JetSurf_Eoff_train.csv")
-    shutil.copy(indep_csv, f"{ex}/metrics_JetSurf_Eoff_independent.csv")
-    for f in os.listdir(f"{cfg.out_root}/figures"):
-        shutil.copy(f"{cfg.out_root}/figures/{f}", f"{ex}/figures/{f}")
+    ttag = f"{mech}_4D_time_{'on' if energy_on else 'off'}"
+    shutil.copy(f"{time_dir}/weights_{ttag}.npz", ex)
+    shutil.copy(f"{time_dir}/min_max_{ttag}.pkl", ex)
+    if energy_on:
+        shutil.copy(f"{temp_dir}/weights_{mech}_2D.npz", ex)
+        shutil.copy(f"{temp_dir}/min_max_{mech}_2D.pkl", ex)
+    shutil.copy(train_csv, f"{ex}/metrics_{mech_tag}_{m}_train.csv")
+    shutil.copy(indep_csv, f"{ex}/metrics_{mech_tag}_{m}_independent.csv")
+    for f in os.listdir(f"{root}/figures"):
+        shutil.copy(f"{root}/figures/{f}", f"{ex}/figures/{f}")
     # a handful of prediction txts as samples (full sets stay in runs/)
-    pred_dir = f"{cfg.out_root}/predictions_JetSurf_Eoff_independent"
+    pred_dir = f"{root}/predictions_{mech_tag}_{m}_independent"
     os.makedirs(f"{ex}/sample_predictions", exist_ok=True)
     for k in (1, 100, 200, 400):
-        p = f"{pred_dir}/pred_JetSurfoff_{k}.txt"
+        p = f"{pred_dir}/pred_{mech_tag}{'on' if energy_on else 'off'}_{k}.txt"
         if os.path.exists(p):
             shutil.copy(p, f"{ex}/sample_predictions/")
     # metric summary
