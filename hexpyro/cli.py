@@ -31,6 +31,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-steps", dest="n_steps", type=int)
     p.add_argument("--out-root", dest="out_root")
     p.add_argument("--chunk-size", dest="chunk_size", type=int)
+    p.add_argument("--window", type=int,
+                   help="segments per device execution (0 = one scan)")
     p.add_argument("--dtype", choices=["f64", "f32"])
     p.add_argument("--epochs", type=int)
     p.add_argument("--batch-size", dest="batch_size", type=int)

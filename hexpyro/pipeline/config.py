@@ -31,6 +31,10 @@ class PipelineConfig:
 
     # execution
     chunk_size: int = 16  # cases solved per jitted batch
+    # segments per device execution: the axon TPU tunnel kills executions
+    # running longer than ~1-2 min, so big-mechanism sweeps march in windows
+    # (simulate_pfr_windowed); 0 = one monolithic scan
+    window: int = 0
     dtype: str = "f64"  # f64 | f32
     x64: bool = True
 

@@ -80,7 +80,7 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     import jax.numpy as jnp
 
     from ..mechanism import load_mechanism, to_device_arrays
-    from ..reactors.pfr import simulate_pfr, tracked_indices
+    from ..reactors.pfr import simulate_pfr, simulate_pfr_windowed, tracked_indices
 
     dtype = jnp.float32 if cfg.dtype == "f32" else jnp.float64
     mech = load_mechanism(cfg.mech_path, name=cfg.mechanism)
@@ -93,18 +93,31 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     n = len(cases)
     mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
 
-    fn = jax.jit(
-        lambda T0, P0, L, u0: simulate_pfr(
-            arr,
-            T0,
-            P0,
-            length=L,
-            u0=u0,
-            species_names=mech.species_names,
-            n_steps=cfg.n_steps,
-            energy_on=cfg.energy_on,
+    if cfg.window:
+        from ..reactors.pfr import make_windowed_step
+
+        step_fn = make_windowed_step(
+            arr, window=cfg.window, n_steps=cfg.n_steps,
+            energy_on=cfg.energy_on, species_names=mech.species_names,
         )
-    )
+        fn = lambda T0, P0, L, u0: simulate_pfr_windowed(
+            arr, T0, P0, length=L, u0=u0, species_names=mech.species_names,
+            n_steps=cfg.n_steps, energy_on=cfg.energy_on, window=cfg.window,
+            step_fn=step_fn,
+        )
+    else:
+        fn = jax.jit(
+            lambda T0, P0, L, u0: simulate_pfr(
+                arr,
+                T0,
+                P0,
+                length=L,
+                u0=u0,
+                species_names=mech.species_names,
+                n_steps=cfg.n_steps,
+                energy_on=cfg.energy_on,
+            )
+        )
 
     paths, n_unconverged = [], 0
     iters_per_chunk = []  # (n_steps,) Newton iterations, aggregated over chunks
@@ -112,6 +125,18 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     chunk = cfg.chunk_size
     for lo in range(0, n, chunk):
         sel = cases[lo : lo + chunk]
+        # restart-by-construction (the reference resumes a crashed sweep by
+        # editing the pool.map range, SURVEY.md section 5): chunks whose output
+        # files already exist are skipped, so re-running the same command
+        # resumes after a TPU fault / interruption
+        existing = [
+            os.path.join(cfg.dataset_dir,
+                         artifacts.trajectory_case_filename(mech_tag, cfg.energy_on, k + 1))
+            for k in range(lo, min(lo + chunk, n))
+        ]
+        if all(os.path.exists(p) for p in existing):
+            paths += existing
+            continue
         pad = chunk - len(sel)
         sel_p = np.concatenate([sel, np.repeat(sel[-1:], pad, 0)]) if pad else sel
         T0 = jnp.asarray(sel_p[:, 0], dtype)
@@ -142,16 +167,17 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             done = min(lo + chunk, n)
             rate = done / (time.time() - t_start)
             print(f"[simulate] {done}/{n} cases ({rate:.2f} cases/s)", flush=True)
-    iters = np.stack(iters_per_chunk)  # (n_chunks, n_steps)
-    np.savez(
-        f"{cfg.dataset_dir}/solver_diagnostics.npz",
-        newton_iters=iters,
-        mean_iters_per_segment=iters.mean(0),
-        n_unconverged=n_unconverged,
-    )
-    if verbose:
-        print(f"[simulate] Newton iters/segment: mean {iters.mean():.1f} "
-              f"max {iters.max():.0f}")
+    if iters_per_chunk:  # at least one chunk actually solved this invocation
+        iters = np.stack(iters_per_chunk)  # (n_chunks, n_steps)
+        np.savez(
+            f"{cfg.dataset_dir}/solver_diagnostics.npz",
+            newton_iters=iters,
+            mean_iters_per_segment=iters.mean(0),
+            n_unconverged=n_unconverged,
+        )
+        if verbose:
+            print(f"[simulate] Newton iters/segment: mean {iters.mean():.1f} "
+                  f"max {iters.max():.0f}")
     if n_unconverged:
         print(f"[simulate] WARNING: {n_unconverged} unconverged cases")
     return paths

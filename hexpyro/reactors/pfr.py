@@ -192,6 +192,24 @@ def simulate_pfr(
     return traj
 
 
+def make_windowed_step(arr, *, window, n_steps, energy_on=False, opts=None,
+                       species_names=None, Y_feed=None):
+    """One jitted window-advance fn, reusable across simulate_pfr_windowed
+    calls (a sweep re-jitting per chunk would re-trace the big-mechanism graph
+    every chunk)."""
+    opts = opts or default_steady_options(arr.dtype)
+
+    def step(T0, P0, L, U, Yf, state):
+        return simulate_pfr(
+            arr, T0, P0, Y_feed=Yf, n_steps=window,
+            length=L * window / n_steps, u0=U,
+            energy_on=energy_on, opts=opts, species_names=species_names,
+            start_state=state, return_state=True,
+        )
+
+    return jax.jit(step)
+
+
 def simulate_pfr_windowed(
     arr: MechanismArrays,
     T0,
@@ -205,6 +223,7 @@ def simulate_pfr_windowed(
     opts: SteadyOptions | None = None,
     species_names=None,
     Y_feed=None,
+    step_fn=None,
 ):
     """Run the chain as sequential jitted windows of `window` segments.
 
@@ -232,17 +251,13 @@ def simulate_pfr_windowed(
     t_res0 = rho0 / (rho0 * u0_b / (length_b / n_steps))
     state = (Y_feed, T0, jnp.full((B,), opts.dtau0_frac, dtype) * t_res0)
 
-    fn = jax.jit(
-        lambda T0, P0, L, U, state: simulate_pfr(
-            arr, T0, P0, Y_feed=Y_feed, n_steps=window,
-            length=L * window / n_steps, u0=U,
-            energy_on=energy_on, opts=opts, species_names=species_names,
-            start_state=state, return_state=True,
-        )
+    fn = step_fn or make_windowed_step(
+        arr, window=window, n_steps=n_steps, energy_on=energy_on, opts=opts,
+        species_names=species_names,
     )
     parts = []
     for w in range(n_steps // window):
-        traj, state = jax.block_until_ready(fn(T0, P0, length_b, u0_b, state))
+        traj, state = jax.block_until_ready(fn(T0, P0, length_b, u0_b, Y_feed, state))
         parts.append(traj)
     return _stitch_windows(parts, np.asarray(length_b), n_steps)
 

@@ -29,10 +29,11 @@ def main():
     mech_tag = "NUIG" if mech.startswith("NUIG") else mech
     energy_on = mode == "eon"
     suffix = {"JetSurf": "", "NUIGMech1.1": "_nuig", "LLNL": "_llnl"}[mech]
-    root = f"runs/flagship{'_eon' if energy_on else ''}{suffix}" \
-        if mech == "JetSurf" else f"runs/flagship{suffix}"
-    indep = f"runs/independent{'_eon' if energy_on else ''}{suffix}" \
-        if mech == "JetSurf" else f"runs/independent{suffix}"
+    eon_tag = "_eon" if energy_on else ""
+    root = f"runs/flagship{eon_tag}{suffix}" \
+        if mech == "JetSurf" else f"runs/flagship{suffix}{eon_tag}"
+    indep = f"runs/independent{eon_tag}{suffix}" \
+        if mech == "JetSurf" else f"runs/independent{suffix}{eon_tag}"
     cfg = PipelineConfig(mechanism=mech, n_cases=800, out_root=root,
                          energy_on=energy_on)
     m = "Eon" if energy_on else "Eoff"

@@ -37,25 +37,39 @@ from hexpyro.surrogate.crnn import config_for, init_parameters
 from hexpyro.training import crnn_trainer as ct
 
 
+# reference final train losses to undercut (BASELINE.md)
+TARGETS = {
+    ("JetSurf", False): 5.4e-3, ("JetSurf", True): 2.9e-3,
+    ("NUIGMech1.1", False): 6.0e-3, ("NUIGMech1.1", True): 1.6e-3,
+    ("LLNL", False): 2.25e-3, ("LLNL", True): 1.15e-3,
+}
+ROOTS = {"JetSurf": "", "NUIGMech1.1": "_nuig", "LLNL": "_llnl"}
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "eoff"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    mech = sys.argv[3] if len(sys.argv) > 3 else "JetSurf"
     energy_on = mode == "eon"
-    out_root = "runs/flagship_eon" if energy_on else "runs/flagship"
+    suffix = ROOTS[mech]
+    out_root = f"runs/flagship{'_eon' if energy_on else ''}{suffix}" \
+        if mech == "JetSurf" else f"runs/flagship{suffix}{'_eon' if energy_on else ''}"
     cfg = PipelineConfig(
-        mechanism="JetSurf", n_cases=800, out_root=out_root, energy_on=energy_on
+        mechanism=mech, n_cases=800, out_root=out_root, energy_on=energy_on
     )
     ds = ct.load_crnn_dataset(_dataset_paths(cfg))
     if energy_on:
         # Eon recipe: substitute the measured T(t) by the temp-MLP prediction
         # (Eon_surrogate_model_training.py:118-195)
         mlp_dir = f"{out_root}/temp_mlp"
-        params = artifacts.load_mlp_params_npz(f"{mlp_dir}/weights_JetSurf_2D.npz")
-        lo, hi = artifacts.load_minmax_scaler(f"{mlp_dir}/min_max_JetSurf_2D.pkl")
+        params = artifacts.load_mlp_params_npz(f"{mlp_dir}/weights_{mech}_2D.npz")
+        lo, hi = artifacts.load_minmax_scaler(f"{mlp_dir}/min_max_{mech}_2D.pkl")
         ds = ct.substitute_temp_profiles(ds, params, lo, hi)
-    ccfg = config_for("JetSurf", energy_on=energy_on)
-    save = f"{out_root}/crnn/training_history_JetSurf_{'Eon' if energy_on else 'Eoff'}.npz"
-    target = 2.9e-3 if energy_on else 5.4e-3  # just under the reference's loss
+    key = mech if mech in ("LLNL", "JetSurf") else "NUIG"
+    ccfg = config_for(key, energy_on=energy_on)
+    mech_tag = "NUIG" if mech.startswith("NUIG") else mech
+    save = f"{out_root}/crnn/training_history_{mech_tag}_{'Eon' if energy_on else 'Eoff'}.npz"
+    target = TARGETS[(mech, energy_on)]  # just under the reference's loss
     tcfg = ct.CRNNTrainConfig(
         epochs=epochs,
         batch_size=int(os.environ.get("HEXPYRO_FLAGSHIP_BATCH", "8")),
