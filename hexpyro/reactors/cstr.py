@@ -84,6 +84,14 @@ class SteadyOptions:
     # column-sequential LUs. Non-finite X always rescues regardless of K.
     ns_rescue_every: int = 1
     jac_chunk: int = 8  # batch-chunking of the (chunk, nr, ns) Jacobian build
+    # carry the Jacobian/preconditioner ACROSS segments: skip the forced
+    # refresh at iteration 0 of a segment whose caller supplied a carried
+    # factorization (pfr.py scan). The first step is then modified Newton with
+    # the PREVIOUS segment's Jacobian -- continuation makes it an excellent
+    # approximation, and most segments converge with ZERO Jacobian builds/NS
+    # refreshes (the dominant per-segment kernels). Convergence is still
+    # declared on the exact residual; a rejected step forces a refresh.
+    carry_jacobian: bool = False
     # matmul precision of the Newton-Schulz preconditioner updates/applies.
     # "default" (bf16 MXU passes) is admissible -- X only needs ~1 digit and
     # convergence is judged on the exact residual -- but MEASURED SLOWER on
@@ -166,7 +174,7 @@ def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays, chunk: int = 8):
 
 def solve_steady_eoff(
     Y_guess, T0, P0, Y_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions,
-    dtau0=None, fac0=None,
+    dtau0=None, fac0=None, diagJ0=None, has_carry=None,
 ):
     """Batched steady state of isothermal CSTR segments.
 
@@ -215,7 +223,11 @@ def solve_steady_eoff(
 
     def body(state):
         refresh = jnp.logical_or(
-            state["it"] % opts.jac_refresh_every == 0, state["rejected"]
+            jnp.logical_and(
+                state["it"] % opts.jac_refresh_every == 0,
+                jnp.logical_or(state["it"] > 0, ~state["hascarry"]),
+            ),
+            state["rejected"],
         )
         fac, diagJ = jax.lax.cond(
             refresh,
@@ -265,6 +277,7 @@ def solve_steady_eoff(
             "nref": state["nref"] + refresh.astype(jnp.int32),
             "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
             "done": jnp.logical_or(done, newly_done),
+            "hascarry": state["hascarry"],
         }
 
     if dtau0 is None:
@@ -289,7 +302,7 @@ def solve_steady_eoff(
         "Y": Y_guess,
         "g": g0,
         "fac": dummy_fac,
-        "diagJ": jnp.ones((B, ns), dtype),
+        "diagJ": diagJ0 if diagJ0 is not None else jnp.ones((B, ns), dtype),
         "dtau": jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
         "gnorm": gnorm0,
         "best": jnp.full((B,), jnp.inf, dtype),
@@ -298,6 +311,11 @@ def solve_steady_eoff(
         "nref": jnp.zeros((), jnp.int32),
         "rejected": jnp.zeros((), bool),
         "done": jnp.zeros((B,), bool),
+        "hascarry": (
+            jnp.asarray(has_carry, bool)
+            if has_carry is not None
+            else jnp.zeros((), bool)
+        ),
     }
     out = jax.lax.while_loop(cond, body, state0)
     return out["Y"], {
@@ -309,12 +327,13 @@ def solve_steady_eoff(
         # solve with this avoids the bootstrap LU rescue there (continuation:
         # successive segment Jacobians differ little)
         "fac": out["fac"] if use_ns else None,
+        "diagJ": out["diagJ"],
     }
 
 
 def solve_steady_eon(
     Y_guess, T_guess, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays, opts: SteadyOptions,
-    dtau0=None, fac0=None,
+    dtau0=None, fac0=None, diagJ0=None, has_carry=None,
 ):
     """Batched steady state of adiabatic CSTR segments (unknowns Y and T).
 
@@ -389,7 +408,11 @@ def solve_steady_eon(
 
     def body(state):
         refresh = jnp.logical_or(
-            state["it"] % opts.jac_refresh_every == 0, state["rejected"]
+            jnp.logical_and(
+                state["it"] % opts.jac_refresh_every == 0,
+                jnp.logical_or(state["it"] > 0, ~state["hascarry"]),
+            ),
+            state["rejected"],
         )
         fac, diagJ = jax.lax.cond(
             refresh,
@@ -440,6 +463,7 @@ def solve_steady_eon(
             "nref": state["nref"] + refresh.astype(jnp.int32),
             "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
             "done": jnp.logical_or(done, newly_done),
+            "hascarry": state["hascarry"],
         }
 
     if dtau0 is None:
@@ -462,7 +486,7 @@ def solve_steady_eon(
         "T": T_guess,
         "g": g0,
         "fac": dummy_fac,
-        "diagJ": jnp.ones((B, ns), dtype),
+        "diagJ": diagJ0 if diagJ0 is not None else jnp.ones((B, ns), dtype),
         "dtau": jnp.clip(dtau0, 1e-12 * t_res, opts.dtau_max_frac * t_res),
         "gnorm": gnorm0,
         "best": jnp.full((B,), jnp.inf, dtype),
@@ -471,6 +495,11 @@ def solve_steady_eon(
         "nref": jnp.zeros((), jnp.int32),
         "rejected": jnp.zeros((), bool),
         "done": jnp.zeros((B,), bool),
+        "hascarry": (
+            jnp.asarray(has_carry, bool)
+            if has_carry is not None
+            else jnp.zeros((), bool)
+        ),
     }
     out = jax.lax.while_loop(cond, body, state0)
     return out["Y"], out["T"], {
@@ -479,4 +508,5 @@ def solve_steady_eon(
         "converged": out["done"],
         "dtau": out["dtau"],
         "fac": out["fac"] if use_ns else None,
+        "diagJ": out["diagJ"],
     }

@@ -138,31 +138,43 @@ def simulate_pfr(
     from ..solvers.linalg import ns_init_state
 
     fac_start = ns_init_state(B, n_sys, dtype) if use_ns else None
+    # carry_jacobian: skip the forced Jacobian refresh at iteration 0 of every
+    # segment after the first -- the carried preconditioner (built from the
+    # previous segment's Jacobian) drives a modified-Newton step, and most
+    # segments converge with zero Jacobian builds (see SteadyOptions)
+    carry_jac = opts.carry_jacobian and use_ns
+    diagJ_start = jnp.zeros((B, arr.n_species), dtype) if carry_jac else None
+    hc_start = jnp.zeros((), bool) if carry_jac else None
 
     def segment(carry, _):
-        Y_prev, T_prev, dtau_prev, fac_prev = carry
+        Y_prev, T_prev, dtau_prev, fac_prev, diagJ_prev, hc_prev = carry
         dtau0 = jnp.minimum(dtau_prev, opts.dtau_carry_max_frac * t_res0)
+        kw = dict(dtau0=dtau0, fac0=fac_prev)
+        if carry_jac:
+            kw.update(diagJ0=diagJ_prev, has_carry=hc_prev)
         if energy_on:
             h_in = nasa7.enthalpy_mass(T_prev, Y_prev, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
             Y, T, info = solve_steady_eon(
-                Y_prev, T_prev, P0, Y_prev, h_in, mdot_over_V, arr, opts,
-                dtau0=dtau0, fac0=fac_prev,
+                Y_prev, T_prev, P0, Y_prev, h_in, mdot_over_V, arr, opts, **kw
             )
         else:
             Y, info = solve_steady_eoff(
-                Y_prev, T0, P0, Y_prev, mdot_over_V, arr, opts,
-                dtau0=dtau0, fac0=fac_prev,
+                Y_prev, T0, P0, Y_prev, mdot_over_V, arr, opts, **kw
             )
             T = T_prev
         rho = nasa7.density(T, P0, Y, arr.mw)
         t_r = rho / mdot_over_V  # rho V / mdot
         u = mdot_over_A / rho
-        return (Y, T, info["dtau"], info["fac"]), (
+        diagJ_next = info["diagJ"] if carry_jac else None
+        hc_next = jnp.ones((), bool) if carry_jac else None
+        return (Y, T, info["dtau"], info["fac"], diagJ_next, hc_next), (
             Y, T, rho, t_r, u, info["converged"], info["iterations"]
         )
 
-    (Yf, Tf, dtau_f, _), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
-        segment, (Y_start, T_start, dtau_start, fac_start), None, length=n_steps
+    (Yf, Tf, dtau_f, _, _, _), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
+        segment,
+        (Y_start, T_start, dtau_start, fac_start, diagJ_start, hc_start),
+        None, length=n_steps,
     )
     # stack the window's inlet state as grid point 0
     rho_start = nasa7.density(T_start, P0, Y_start, arr.mw)

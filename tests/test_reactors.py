@@ -162,6 +162,32 @@ class TestSolverVariants:
         scale = float(jnp.abs(t_lu.Y).max())
         assert float(jnp.abs(t_ns.Y - t_lu.Y).max()) / scale < 1e-3
 
+    def test_carry_jacobian_matches_per_segment_refresh(self, jetsurf, jetsurf_dev):
+        """carry_jacobian skips the forced Jacobian rebuild at segment entry
+        (modified Newton with the previous segment's preconditioner); steady
+        states must agree with the per-segment-refresh path since convergence
+        is declared on the exact residual either way."""
+        import dataclasses
+
+        from hexpyro.reactors.cstr import default_steady_options
+
+        T0 = jnp.array([950.0, 1100.0])
+        P0 = jnp.array([1.5e5, 2.5e5])
+        opts = default_steady_options(jnp.float32)
+        for energy_on in (False, True):
+            base = simulate_pfr(
+                jetsurf_dev, T0, P0, species_names=jetsurf.species_names,
+                n_steps=10, length=10 / 800.0, energy_on=energy_on, opts=opts,
+            )
+            carry = simulate_pfr(
+                jetsurf_dev, T0, P0, species_names=jetsurf.species_names,
+                n_steps=10, length=10 / 800.0, energy_on=energy_on,
+                opts=dataclasses.replace(opts, carry_jacobian=True),
+            )
+            assert bool(carry.converged.all())
+            assert float(jnp.abs(carry.Y - base.Y).max()) < 5e-5
+            assert float(jnp.abs(carry.T - base.T).max()) < 0.5
+
     def test_windowed_matches_monolithic(self, jetsurf, jetsurf_dev):
         from hexpyro.reactors.pfr import simulate_pfr_windowed
 
