@@ -87,9 +87,16 @@ def main():
             save_path=save, save_every=10, stop_at_train_loss=target,
         )
     else:
+        # LLNL's 2.25e-3 target is ~2.5x deeper than JetSurf/NUIG's and needs
+        # the reference's batch-1 SGD noise scale: batch 8 plateaus at ~7e-3
+        # with a collapsed plateau LR (measured round 2), so LLNL drops to
+        # batch 2 (4x the steps/epoch) with more plateau patience
+        batch_env = os.environ.get("HEXPYRO_FLAGSHIP_BATCH")
+        batch = int(batch_env) if batch_env else (2 if mech == "LLNL" else 8)
         tcfg = ct.CRNNTrainConfig(
             epochs=epochs,
-            batch_size=int(os.environ.get("HEXPYRO_FLAGSHIP_BATCH", "8")),
+            batch_size=batch,
+            plateau_patience=8 if mech == "LLNL" else 5,
             max_steps_per_interval=2,
             save_path=save,
             save_every=10,
