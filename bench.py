@@ -192,7 +192,8 @@ def main() -> None:
         return
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
     # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the
-    # Newton-Schulz-preconditioned solver (0.43 traj/s; B=64 drops to 0.32)
+    # Newton-Schulz-preconditioned solver (3.0 traj/s with carry_jacobian,
+    # 0.48 without; B=64 drops throughput)
     B = int(os.environ.get("HEXPYRO_BENCH_B", "16"))
     n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "800"))
     dtype_name = os.environ.get("HEXPYRO_BENCH_DTYPE", "f32")
