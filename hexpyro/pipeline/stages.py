@@ -246,13 +246,9 @@ def stage_train_crnn(cfg: PipelineConfig, temp_mlp_dir: str | None = None):
         tcfg.batch_size = cfg.batch_size
     if cfg.learning_rate is not None:
         tcfg.learning_rate = cfg.learning_rate
-    p_resume, epochs_done = ct.resume_parameters(save)
-    if p_resume is not None:
-        print(f"[train-crnn] resuming from {save} ({epochs_done} epochs done)")
-        p0 = p_resume
-    else:
-        p0 = init_parameters(0, ccfg)
-    p, hist = ct.train_crnn(p0, ds, ccfg, tcfg)
+    # resume (params + optimizer + lr state, history append) happens inside
+    # train_crnn via tcfg.resume whenever `save` already exists
+    p, hist = ct.train_crnn(init_parameters(0, ccfg), ds, ccfg, tcfg)
     test_loss = ct.test_crnn(p, ds, ccfg, tcfg)
     print(f"[train-crnn] final train {hist['train_loss'][-1]:.6f} "
           f"valid {hist['valid_loss'][-1]:.6f} test {test_loss:.6f} -> {save}")

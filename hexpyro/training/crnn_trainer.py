@@ -115,6 +115,12 @@ class CRNNTrainConfig:
     # reference stops by wall-clock judgement at 141-300 epochs; a target lets
     # long flagship runs release the chip as soon as parity is reached)
     stop_at_train_loss: float | None = None
+    # resume from save_path if it exists: full state (params + optimizer +
+    # plateau) from the sidecar `<save_path>.state.npz` when present, else
+    # params from `updated_p` with the plateau controller state recovered
+    # exactly by replaying the recorded validation losses. History appends
+    # instead of restarting, so the npz keeps the complete loss curve.
+    resume: bool = True
 
 
 def make_splits(n_exp: int, seed: int = 42):
@@ -165,6 +171,60 @@ def resume_parameters(save_path: str):
         if "updated_p" in z.files:
             return np.asarray(z["updated_p"], np.float64), epochs
     return None, epochs
+
+
+def _load_history(save_path: str):
+    """Load the saved loss curves + per-epoch parameters as python lists."""
+    with np.load(save_path, allow_pickle=True) as z:
+        return {
+            "train_loss": [float(v) for v in z["train_loss"]],
+            "valid_loss": [float(v) for v in z["valid_loss"]],
+            "parameters": list(z["parameters"]),
+        }
+
+
+def _replay_plateau(valid_losses, tcfg: "CRNNTrainConfig"):
+    """Recover the exact plateau-controller state from a recorded loss curve."""
+    st = plateau_init()
+    for v in valid_losses:
+        st = plateau_step(
+            st, jnp.asarray(v, jnp.float32), factor=tcfg.plateau_factor,
+            patience=tcfg.plateau_patience, threshold=tcfg.plateau_threshold,
+        )
+    return st
+
+
+def _try_resume(tcfg: "CRNNTrainConfig", opt_state_template, dt):
+    """Return (p, opt_state, plateau, history, start_epoch) or None."""
+    path = tcfg.save_path
+    if not (tcfg.resume and path and os.path.exists(path)):
+        return None
+    history = _load_history(path)
+    start = len(history["train_loss"])
+    if start == 0:
+        return None
+    plateau = _replay_plateau(history["valid_loss"], tcfg)
+    state_path = path + ".state.npz"
+    p = opt_state = None
+    if os.path.exists(state_path):
+        try:
+            leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+            with np.load(state_path) as z:
+                new = [
+                    jnp.asarray(z[f"opt_{i}"], leaves[i].dtype)
+                    for i in range(len(leaves))
+                ]
+                p = jnp.asarray(z["p"], dt)
+            opt_state = jax.tree_util.tree_unflatten(treedef, new)
+        except Exception as e:  # layout drift (optax upgrade): params-only
+            print(f"resume: sidecar state unusable ({e}); params-only resume")
+            p = opt_state = None
+    if p is None:
+        with np.load(path, allow_pickle=True) as z:
+            if "updated_p" not in z.files:
+                return None
+            p = jnp.asarray(np.asarray(z["updated_p"]), dt)
+    return p, opt_state, plateau, history, start
 
 
 def train_crnn(
@@ -219,14 +279,26 @@ def train_crnn(
     def eval_loss(p, ts, Tl, u0, yl, ysc):
         return batch_loss(p, cfg, ts, Tl, u0, yl, ysc, tcfg)
 
-    rng = np.random.default_rng(tcfg.shuffle_seed)
     plateau = plateau_init()
     history = {"train_loss": [], "valid_loss": [], "parameters": []}
+    start_epoch = 0
+    resumed = _try_resume(tcfg, opt_state, dt)
+    if resumed is not None:
+        p, r_opt_state, plateau, history, start_epoch = resumed
+        if r_opt_state is not None:
+            opt_state = r_opt_state
+        if verbose:
+            kind = "full-state" if r_opt_state is not None else "params+plateau"
+            print(
+                f"resuming ({kind}) from {tcfg.save_path}: epoch {start_epoch}, "
+                f"lr scale {float(plateau.scale):.4g}"
+            )
+    rng = np.random.default_rng([tcfg.shuffle_seed, start_epoch])
     valid_batch = gather(jnp.asarray(valid_idx))
 
     bs = tcfg.batch_size
     n_batches = max(1, len(train_idx) // bs)
-    for epoch in range(tcfg.epochs):
+    for epoch in range(start_epoch, tcfg.epochs):
         perm = rng.permutation(len(train_idx))[: n_batches * bs]
         idx = jnp.asarray(np.asarray(train_idx)[perm].reshape(n_batches, bs))
         batches = tuple(
@@ -259,7 +331,7 @@ def train_crnn(
                 f"valid {float(valid_loss):.6f} lr {lr:.2e}"
             )
         if tcfg.save_path and ((epoch + 1) % tcfg.save_every == 0):
-            _save(tcfg.save_path, history, p)
+            _save(tcfg.save_path, history, p, opt_state=opt_state)
         if (
             tcfg.stop_at_train_loss is not None
             and float(train_loss) <= tcfg.stop_at_train_loss
@@ -270,11 +342,11 @@ def train_crnn(
             break
 
     if tcfg.save_path:
-        _save(tcfg.save_path, history, p, final=True)
+        _save(tcfg.save_path, history, p, opt_state=opt_state, final=True)
     return np.asarray(p), history
 
 
-def _save(path, history, p, final=False):
+def _save(path, history, p, opt_state=None, final=False):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # updated_p is written at EVERY checkpoint (the reference writes it only in
     # the final record) so an interrupted run resumes from the latest epoch,
@@ -287,6 +359,16 @@ def _save(path, history, p, final=False):
         final=history["parameters"][-1] if final else None,
         updated_p=np.asarray(p),
     )
+    if opt_state is not None:
+        # optimizer sidecar (internal format, not part of the reference npz
+        # layout): lets an interrupted run restore AdamW moments + the exact
+        # learning rate instead of re-warming from scratch
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        np.savez(
+            path + ".state.npz",
+            p=np.asarray(p),
+            **{f"opt_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
 
 
 def test_crnn(p, ds: CRNNDataset, cfg: CRNNConfig, tcfg: CRNNTrainConfig):

@@ -102,11 +102,9 @@ def main():
             save_every=10,
             stop_at_train_loss=target,
         )
-    p_resume, done = ct.resume_parameters(save)
-    p0 = p_resume if p_resume is not None else init_parameters(0, ccfg)
-    if p_resume is not None:
-        print(f"resuming from {save} ({done} epochs recorded)")
-    p, hist = ct.train_crnn(p0, ds, ccfg, tcfg)
+    # resume (params + optimizer + lr state, history append) is handled inside
+    # train_crnn via tcfg.resume whenever `save` already exists
+    p, hist = ct.train_crnn(init_parameters(0, ccfg), ds, ccfg, tcfg)
     test = ct.test_crnn(p, ds, ccfg, tcfg)
     print(f"FINAL train {hist['train_loss'][-1]:.6f} valid {hist['valid_loss'][-1]:.6f} "
           f"test {test:.6f} epochs {len(hist['train_loss'])}")

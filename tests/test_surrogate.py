@@ -165,3 +165,73 @@ class TestTrainers:
         assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.7
         assert np.isfinite(hist["train_loss"]).all()
         assert len(hist["parameters"]) == 6
+
+    def test_crnn_trainer_resume_full_state(self, tmp_path):
+        """Interrupted training resumes with history append + exact lr state."""
+        from hexpyro.surrogate.crnn import config_for, init_parameters
+        from hexpyro.training.crnn_trainer import (
+            CRNNDataset,
+            CRNNTrainConfig,
+            train_crnn,
+        )
+
+        cfg = config_for("LLNL")
+        n_exp, ntotal = 8, 11
+        rng = np.random.default_rng(3)
+        tsteps = np.linspace(0.0, 0.2, ntotal)[None, :].repeat(n_exp, 0)
+        Tlist = rng.uniform(950, 1100, n_exp)[:, None].repeat(ntotal, 1)
+        ylabel = rng.uniform(0.1, 20.0, (n_exp, 9, ntotal))
+        ds = CRNNDataset(
+            tsteps=tsteps, ylabel=ylabel, Tlist=Tlist,
+            Plist=np.full_like(Tlist, 2e5), u0=ylabel[:, :, 0],
+            yscale=np.clip(ylabel.max(2) - ylabel.min(2), 1e-6, None),
+        )
+        save = str(tmp_path / "hist.npz")
+        base = dict(batch_size=4, learning_rate=2e-3, save_path=save,
+                    save_every=1, plateau_patience=0, plateau_threshold=0.5)
+        # phase 1: 3 epochs; patience 0 + huge threshold forces lr decay so the
+        # resumed plateau scale is nontrivial
+        train_crnn(init_parameters(1, cfg), ds, cfg,
+                   CRNNTrainConfig(epochs=3, **base), verbose=False)
+        assert (tmp_path / "hist.npz.state.npz").exists()
+        # phase 2: resume to 5 epochs -- history must append, not restart
+        p, hist = train_crnn(init_parameters(9, cfg), ds, cfg,
+                             CRNNTrainConfig(epochs=5, **base), verbose=False)
+        assert len(hist["train_loss"]) == 5
+        with np.load(save, allow_pickle=True) as z:
+            assert len(z["train_loss"]) == 5
+        # phase 2 with resume disabled restarts from scratch
+        _, hist2 = train_crnn(
+            init_parameters(9, cfg), ds, cfg,
+            CRNNTrainConfig(epochs=2, resume=False, **base), verbose=False)
+        assert len(hist2["train_loss"]) == 2
+
+    def test_crnn_trainer_resume_params_only(self, tmp_path):
+        """A history npz without a sidecar resumes params + replayed plateau."""
+        from hexpyro.surrogate.crnn import config_for, init_parameters
+        from hexpyro.training.crnn_trainer import (
+            CRNNDataset,
+            CRNNTrainConfig,
+            train_crnn,
+        )
+
+        cfg = config_for("LLNL")
+        n_exp, ntotal = 8, 11
+        rng = np.random.default_rng(4)
+        tsteps = np.linspace(0.0, 0.2, ntotal)[None, :].repeat(n_exp, 0)
+        Tlist = rng.uniform(950, 1100, n_exp)[:, None].repeat(ntotal, 1)
+        ylabel = rng.uniform(0.1, 20.0, (n_exp, 9, ntotal))
+        ds = CRNNDataset(
+            tsteps=tsteps, ylabel=ylabel, Tlist=Tlist,
+            Plist=np.full_like(Tlist, 2e5), u0=ylabel[:, :, 0],
+            yscale=np.clip(ylabel.max(2) - ylabel.min(2), 1e-6, None),
+        )
+        save = str(tmp_path / "hist.npz")
+        base = dict(batch_size=4, learning_rate=2e-3, save_path=save,
+                    save_every=1)
+        train_crnn(init_parameters(1, cfg), ds, cfg,
+                   CRNNTrainConfig(epochs=2, **base), verbose=False)
+        (tmp_path / "hist.npz.state.npz").unlink()  # legacy checkpoint
+        _, hist = train_crnn(init_parameters(9, cfg), ds, cfg,
+                             CRNNTrainConfig(epochs=4, **base), verbose=False)
+        assert len(hist["train_loss"]) == 4
