@@ -123,6 +123,18 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     iters_per_chunk = []  # (n_steps,) Newton iterations, aggregated over chunks
     t_start = time.time()
     chunk = cfg.chunk_size
+    # multi-chip: shard the case batch over every available device (the
+    # TPU-native replacement for the reference's multiprocessing.Pool,
+    # SURVEY.md section 2) — XLA partitions the batched solve with zero code
+    # changes downstream; single-device runs are unaffected
+    n_dev = jax.device_count()
+    case_shard = None
+    if n_dev > 1 and chunk % n_dev == 0:
+        from ..parallel import mesh as pmesh
+
+        case_shard = pmesh.case_sharding(pmesh.make_mesh())
+        if verbose:
+            print(f"[simulate] sharding case batches over {n_dev} devices")
     for lo in range(0, n, chunk):
         sel = cases[lo : lo + chunk]
         # restart-by-construction (the reference resumes a crashed sweep by
@@ -147,6 +159,8 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
         else:
             L = jnp.full((len(sel_p),), 1.0, dtype)
             u0 = jnp.full((len(sel_p),), 2.5, dtype)
+        if case_shard is not None:
+            T0, P0, L, u0 = (jax.device_put(x, case_shard) for x in (T0, P0, L, u0))
         traj = jax.block_until_ready(fn(T0, P0, L, u0))
         if pad:
             import dataclasses

@@ -41,7 +41,7 @@ from hexpyro.training import crnn_trainer as ct
 TARGETS = {
     ("JetSurf", False): 5.4e-3, ("JetSurf", True): 2.9e-3,
     ("NUIGMech1.1", False): 6.0e-3, ("NUIGMech1.1", True): 1.6e-3,
-    ("LLNL", False): 2.25e-3, ("LLNL", True): 1.15e-3,
+    ("LLNL", False): 2.30e-3, ("LLNL", True): 1.19e-3,
     ("LLNL", "wide"): 2.35e-3,  # reference wide: 2.419e-3 (500 ep)
 }
 ROOTS = {"JetSurf": "", "NUIGMech1.1": "_nuig", "LLNL": "_llnl"}
