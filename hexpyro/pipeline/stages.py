@@ -93,17 +93,33 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     n = len(cases)
     mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
 
+    # solver-knob override for a single sweep without code edits, e.g.
+    # HEXPYRO_STEADY_OPTS='{"carry_jacobian": false}' (same contract as
+    # bench.py's HEXPYRO_BENCH_OPTS)
+    opts = None
+    opts_env = os.environ.get("HEXPYRO_STEADY_OPTS")
+    if opts_env:
+        import dataclasses
+        import json
+
+        from ..reactors.cstr import default_steady_options
+
+        opts = dataclasses.replace(
+            default_steady_options(dtype), **json.loads(opts_env)
+        )
+        print(f"[simulate] steady-option overrides: {opts_env}")
+
     if cfg.window:
         from ..reactors.pfr import make_windowed_step
 
         step_fn = make_windowed_step(
-            arr, window=cfg.window, n_steps=cfg.n_steps,
+            arr, window=cfg.window, n_steps=cfg.n_steps, opts=opts,
             energy_on=cfg.energy_on, species_names=mech.species_names,
         )
         fn = lambda T0, P0, L, u0: simulate_pfr_windowed(
             arr, T0, P0, length=L, u0=u0, species_names=mech.species_names,
             n_steps=cfg.n_steps, energy_on=cfg.energy_on, window=cfg.window,
-            step_fn=step_fn,
+            step_fn=step_fn, opts=opts,
         )
     else:
         fn = jax.jit(
@@ -116,6 +132,7 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
                 species_names=mech.species_names,
                 n_steps=cfg.n_steps,
                 energy_on=cfg.energy_on,
+                opts=opts,
             )
         )
 

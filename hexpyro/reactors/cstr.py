@@ -374,11 +374,19 @@ def solve_steady_eon(
         gY = flow[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
         cp = nasa7.cp_mass(T, Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs)
 
-        # dwdot/dT at fixed (Y, P): direct T dependence + dC/dT = -C/T
+        # dwdot/dT at fixed (Y, P): direct T dependence + dC/dT = -C/T.
+        # Forward difference of the clip-guarded primal, NOT jax.jvp: the jvp
+        # tangent of exp(clip(expo, 85)) overflows f32 to NaN for LLNL-sized
+        # rate exponents (tangent = exp(expo)*d_expo accumulates past 3.4e38
+        # in the stoichiometric sum), which poisoned every Eon Jacobian and
+        # froze the LLNL Eon solve. The primal-only difference stays inside
+        # the exp clip; sqrt(f32 eps)-relative step, plenty for a modified-
+        # Newton matrix.
         f_T = lambda t: wdot(
             t, P0, (nasa7.density(t, P0, Y, arr.mw)[:, None] * Y / arr.mw), arr
         )
-        _, dw_dT = jax.jvp(f_T, (T,), (jnp.ones_like(T),))
+        dT_fd = 4e-4 * T
+        dw_dT = (f_T(T + dT_fd) - w) / dT_fd[:, None]
         J_YT = gY / T[:, None] + dw_dT * arr.mw * inv_rho[:, None]  # (B, ns)
 
         # species partial enthalpies per unit mass fraction [J/kg]
