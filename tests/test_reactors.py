@@ -205,3 +205,26 @@ class TestSolverVariants:
         # t accumulates per-segment rho differences within solver tolerance
         # (both runs converge to rtol 1e-6), so allow a few e-8 of drift
         assert float(np.abs(np.asarray(win.t) - np.asarray(full.t)).max()) < 1e-7
+
+
+class TestEonJacobianFinite:
+    @pytest.mark.slow
+    def test_llnl_eon_f32_segment_converges(self):
+        """Regression: jax.jvp of wdot wrt T overflowed f32 to NaN for
+        LLNL-sized rate exponents, poisoning every Eon Jacobian so the LLNL
+        adiabatic solve froze at T0 (fixed with a finite-difference dw/dT in
+        solve_steady_eon.build_fac)."""
+        mech = load_mechanism(
+            "/root/reference/DETAILED_KINETIC_MODEL/LLNL.yaml", name="LLNL"
+        )
+        arr = to_device_arrays(mech, dtype=jnp.float32)
+        traj = simulate_pfr(
+            arr, jnp.full((1,), 1000.0), jnp.full((1,), 2.0e5),
+            species_names=mech.species_names, n_steps=3, energy_on=True,
+        )
+        assert bool(np.asarray(traj.converged).all())
+        T = np.asarray(traj.T)[0]
+        assert np.isfinite(T).all()
+        # adiabatic pyrolysis cools the gas; fixed-point would stay at 1000.0
+        assert T[-1] < 999.0
+        assert np.asarray(traj.newton_iters).max() <= 40
