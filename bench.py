@@ -46,10 +46,16 @@ def measure_cpu_baseline(mech_name: str = "NUIGMech1.1", T0: float = 1050.0,
 
     Run via HEXPYRO_BENCH_BASELINE=1 python bench.py.
     """
+    # single-thread the whole stack: XLA's CPU eigen pool for the jitted
+    # RHS/Jacobian evals, and the BLAS/LAPACK pools scipy's dense LU uses
+    # (the reference pins workers to 1 thread the same way,
+    # simul_data_gene_fix_chain_2D.py:12-16)
     os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_multi_thread_eigen=false "
-        "intra_op_parallelism_threads=1"
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_multi_thread_eigen=false"
     ).strip()
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ[var] = "1"
     import jax
 
     jax.config.update("jax_platforms", "cpu")

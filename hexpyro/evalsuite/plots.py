@@ -105,10 +105,21 @@ def plot_two_model_comparison(
         mlines.Line2D([], [], color="black", ls="-", label=f"{model_names[0]} (solid)"),
         mlines.Line2D([], [], color="black", ls="--", label=f"{model_names[1]} (dashed)"),
     ]
-    if y_ref_a is not None or y_ref_b is not None:
+    # one legend entry per plotted truth marker set ('^' rides model A's grid,
+    # 's' rides model B's): the entry must match what is actually scattered
+    if y_ref_a is not None:
+        label = ("reference (truth)" if y_ref_b is None
+                 else f"truth ({model_names[0]} mech)")
         handles.append(
             mlines.Line2D([], [], color="black", marker="^", ls="None",
-                          markerfacecolor="none", label="reference (truth)")
+                          markerfacecolor="none", label=label)
+        )
+    if y_ref_b is not None:
+        label = ("reference (truth)" if y_ref_a is None
+                 else f"truth ({model_names[1]} mech)")
+        handles.append(
+            mlines.Line2D([], [], color="black", marker="s", ls="None",
+                          markerfacecolor="none", label=label)
         )
     axes[8].axis("off")
     axes[8].legend(handles=handles, loc="center", fontsize=12)

@@ -89,7 +89,9 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
 
     if cases is None:
         cases = lhs.read_cases_csv(cfg.cases_csv)
-    cases = np.atleast_2d(cases)
+    # cap at n_cases: downstream consumers (_dataset_paths) read exactly
+    # n_cases trajectories, so sweeping extra CSV rows is pure waste
+    cases = np.atleast_2d(cases)[: cfg.n_cases]
     n = len(cases)
     mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
 

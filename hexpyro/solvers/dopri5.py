@@ -66,6 +66,10 @@ def odeint_dopri5(rhs, u0, ts, *, rtol=1e-6, atol=1e-6, max_steps_per_interval=1
     if exactness matters.
     """
     dtype = u0.dtype
+    # the time grid must live at the state dtype too: an f64 ts with f32 state
+    # promotes h_eff = min(h, t_target - t) and breaks the scan carry with a
+    # dtype TypeError (f32 callers passing f64 grids are common under x64)
+    ts = jnp.asarray(ts, dtype)
     t_end = ts[-1]
     h_floor = 1e-14 * jnp.maximum(t_end, 1.0)
     # "reached the target" slack: a few ulps of the target magnitude

@@ -157,22 +157,6 @@ def batch_loss(p, cfg: CRNNConfig, tsteps, Tlist, u0, ylabel, yscale, tcfg: CRNN
     return jnp.mean(((pred - ref) / ysc) ** 2)
 
 
-def resume_parameters(save_path: str):
-    """Load the raw parameter vector from a saved history for resuming.
-
-    Returns (p, epochs_done) or (None, 0). The reference trainers have no
-    resume capability (SURVEY.md section 5); here any history with `updated_p`
-    (written on final save) or the last converted parameters can seed a new run.
-    """
-    if not save_path or not os.path.exists(save_path):
-        return None, 0
-    with np.load(save_path, allow_pickle=True) as z:
-        epochs = len(z["train_loss"])
-        if "updated_p" in z.files:
-            return np.asarray(z["updated_p"], np.float64), epochs
-    return None, epochs
-
-
 def _load_history(save_path: str):
     """Load the saved loss curves + per-epoch parameters as python lists."""
     with np.load(save_path, allow_pickle=True) as z:
@@ -210,13 +194,20 @@ def _try_resume(tcfg: "CRNNTrainConfig", opt_state_template, dt):
         try:
             leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
             with np.load(state_path) as z:
+                # a crash between the history write and the sidecar write can
+                # leave a stale sidecar; a silent epoch mismatch would resume
+                # old parameters under a newer loss curve
+                if int(z["epoch"]) != start:
+                    raise ValueError(
+                        f"sidecar epoch {int(z['epoch'])} != history epoch {start}"
+                    )
                 new = [
                     jnp.asarray(z[f"opt_{i}"], leaves[i].dtype)
                     for i in range(len(leaves))
                 ]
                 p = jnp.asarray(z["p"], dt)
             opt_state = jax.tree_util.tree_unflatten(treedef, new)
-        except Exception as e:  # layout drift (optax upgrade): params-only
+        except Exception as e:  # layout drift (optax upgrade) / stale sidecar
             print(f"resume: sidecar state unusable ({e}); params-only resume")
             p = opt_state = None
     if p is None:
@@ -367,6 +358,7 @@ def _save(path, history, p, opt_state=None, final=False):
         np.savez(
             path + ".state.npz",
             p=np.asarray(p),
+            epoch=len(history["train_loss"]),
             **{f"opt_{i}": np.asarray(l) for i, l in enumerate(leaves)},
         )
 
