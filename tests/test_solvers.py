@@ -70,3 +70,14 @@ class TestDopri5:
         np.testing.assert_allclose(
             np.asarray(ys[3:, 0]), np.cos(np.asarray(ts[3:])), atol=5e-3
         )
+
+    def test_mixed_dtype_time_grid(self):
+        """Regression: an f64 ts with f32 state crashed the scan carry with a
+        dtype promotion TypeError; ts is now cast to the state dtype."""
+        u0 = jnp.array([1.0, 0.5], jnp.float32)
+        ts = jnp.linspace(0.0, 2.0, 21).astype(jnp.float64)
+        ys = odeint_dopri5(lambda t, u: -u, u0, ts)
+        assert ys.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(ys[-1]), np.asarray(u0) * np.exp(-2.0), rtol=1e-4
+        )
