@@ -34,6 +34,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--window", type=int,
                    help="segments per device execution (0 = one scan)")
     p.add_argument("--dtype", choices=["f64", "f32"])
+    p.add_argument("--no-rescue", dest="rescue", action="store_const", const=False,
+                   help="skip the f64 re-solve of high-residual cases")
     p.add_argument("--epochs", type=int)
     p.add_argument("--batch-size", dest="batch_size", type=int)
     p.add_argument("--learning-rate", dest="learning_rate", type=float)

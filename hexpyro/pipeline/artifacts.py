@@ -75,12 +75,14 @@ def read_trajectory_txt(path: str, ns: int = 9):
 
 def write_sweep(
     out_dir: str, mech_name: str, energy_on: bool, traj, arr, tracked_idx,
-    offset: int = 0, include_rho: bool = False,
+    offset: int = 0, include_rho: bool = False, case_ids=None,
 ) -> list[str]:
     """Write a batched PFRTrajectory as per-case reference-format txt files.
 
     include_rho appends the density column used by 4D sweeps
     (INDEPENDENT_DATASET_GENERATION/simul_data_gene_fix_chain_4D.py:231-233).
+    case_ids optionally gives explicit 1-based case numbers (scattered
+    re-solves, e.g. the stage_simulate rescue pass) instead of offset+b+1.
     """
     os.makedirs(out_dir, exist_ok=True)
     C = np.asarray(traj.concentrations(arr))[:, :, tracked_idx]  # (B, n+1, 9)
@@ -91,9 +93,11 @@ def write_sweep(
     z = np.asarray(traj.z)
     rho = np.asarray(traj.rho)
     paths = []
-    for b in range(t.shape[0]):
+    n_write = len(case_ids) if case_ids is not None else t.shape[0]
+    for b in range(n_write):
+        cid = case_ids[b] if case_ids is not None else offset + b + 1
         path = os.path.join(
-            out_dir, trajectory_case_filename(mech_name, energy_on, offset + b + 1)
+            out_dir, trajectory_case_filename(mech_name, energy_on, cid)
         )
         write_trajectory_txt(
             path, t[b], T[b], P[b], C[b], u[b], z[b],

@@ -37,6 +37,9 @@ class PipelineConfig:
     window: int = 0
     dtype: str = "f64"  # f64 | f32
     x64: bool = True
+    # re-solve cases whose worst segment residual exceeds the rescue threshold
+    # at f64 with the conservative LU solver (stage_simulate)
+    rescue: bool = True
 
     # training knobs (None -> module defaults)
     epochs: int | None = None

@@ -140,6 +140,10 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
 
     paths, n_unconverged = [], 0
     iters_per_chunk = []  # (n_steps,) Newton iterations, aggregated over chunks
+    # per-case solve quality, filled for chunks solved THIS invocation (skipped
+    # restart chunks keep NaN/True); drives the f64 rescue pass below
+    case_resid = np.full(n, np.nan)
+    case_conv = np.ones(n, bool)
     t_start = time.time()
     chunk = cfg.chunk_size
     # multi-chip: shard the case batch over every available device (the
@@ -188,9 +192,12 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             traj = dataclasses.replace(
                 traj,
                 **{f: getattr(traj, f)[: len(sel)]
-                   for f in ("t", "T", "P", "Y", "rho", "u", "z", "converged")},
+                   for f in ("t", "T", "P", "Y", "rho", "u", "z", "converged",
+                             "max_resid")},
             )
         n_unconverged += int((~np.asarray(traj.converged)).sum())
+        case_conv[lo : lo + len(sel)] = np.asarray(traj.converged)
+        case_resid[lo : lo + len(sel)] = np.asarray(traj.max_resid)
         iters_per_chunk.append(np.asarray(traj.newton_iters))
         paths += artifacts.write_sweep(
             cfg.dataset_dir, mech_tag, cfg.energy_on, traj, arr, tracked,
@@ -200,6 +207,75 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             done = min(lo + chunk, n)
             rate = done / (time.time() - t_start)
             print(f"[simulate] {done}/{n} cases ({rate:.2f} cases/s)", flush=True)
+    # f64 rescue pass: re-solve cases whose worst segment residual implies a
+    # real accuracy loss (residual in tolerance units; stall-accepted lanes
+    # sit at <= 30, so anything above HEXPYRO_RESCUE_RESID=300 ~ 3% species
+    # error is a genuine failure -- e.g. an adiabatic lane pinned against the
+    # dT_segment_max trust region). The rescue uses f64 with the conservative
+    # LU path and fresh per-segment Jacobians, trading ~10x per-case cost for
+    # robustness on the handful of hard cases.
+    rescue_thresh = float(os.environ.get("HEXPYRO_RESCUE_RESID", "300"))
+    bad = np.where(np.nan_to_num(case_resid) > rescue_thresh)[0]
+    if len(bad) and cfg.rescue:
+        if verbose:
+            print(f"[simulate] rescuing {len(bad)} cases at f64 "
+                  f"(max_resid > {rescue_thresh:g}): {(bad + 1).tolist()}")
+        from ..mechanism import to_device_arrays as _to_dev
+        from ..reactors.cstr import default_steady_options as _defopts
+
+        arr64 = _to_dev(mech, dtype=jnp.float64)
+        opts64 = _defopts(jnp.float64)
+        rchunk = min(8, chunk)
+        if cfg.window:
+            from ..reactors.pfr import make_windowed_step
+
+            rstep = make_windowed_step(
+                arr64, window=cfg.window, n_steps=cfg.n_steps, opts=opts64,
+                energy_on=cfg.energy_on, species_names=mech.species_names,
+            )
+            rfn = lambda T0, P0, L, u0: simulate_pfr_windowed(
+                arr64, T0, P0, length=L, u0=u0, species_names=mech.species_names,
+                n_steps=cfg.n_steps, energy_on=cfg.energy_on, window=cfg.window,
+                step_fn=rstep, opts=opts64,
+            )
+        else:
+            rfn = jax.jit(
+                lambda T0, P0, L, u0: simulate_pfr(
+                    arr64, T0, P0, length=L, u0=u0, opts=opts64,
+                    species_names=mech.species_names, n_steps=cfg.n_steps,
+                    energy_on=cfg.energy_on,
+                )
+            )
+        still_bad = []
+        for lo in range(0, len(bad), rchunk):
+            ids = bad[lo : lo + rchunk]
+            sel = cases[ids]
+            pad = rchunk - len(sel)
+            sel_p = np.concatenate([sel, np.repeat(sel[-1:], pad, 0)]) if pad else sel
+            T0 = jnp.asarray(sel_p[:, 0], jnp.float64)
+            P0 = jnp.asarray(sel_p[:, 1] * 1e5, jnp.float64)
+            if cfg.dims == 4:
+                L = jnp.asarray(sel_p[:, 2], jnp.float64)
+                u0 = jnp.asarray(sel_p[:, 3], jnp.float64)
+            else:
+                L = jnp.full((len(sel_p),), 1.0, jnp.float64)
+                u0 = jnp.full((len(sel_p),), 2.5, jnp.float64)
+            traj = jax.block_until_ready(rfn(T0, P0, L, u0))
+            artifacts.write_sweep(
+                cfg.dataset_dir, mech_tag, cfg.energy_on, traj, arr64, tracked,
+                include_rho=(cfg.dims == 4), case_ids=(ids + 1).tolist(),
+            )
+            r = np.asarray(traj.max_resid)[: len(sel)]
+            case_resid[ids] = r
+            case_conv[ids] = np.asarray(traj.converged)[: len(sel)]
+            still_bad += (ids[r > rescue_thresh] + 1).tolist()
+            if verbose:
+                print(f"[simulate] rescued {min(lo + rchunk, len(bad))}/"
+                      f"{len(bad)}", flush=True)
+        n_unconverged = int((~case_conv).sum())
+        if still_bad:
+            print(f"[simulate] WARNING: rescue left cases {still_bad} above "
+                  f"the residual threshold")
     if iters_per_chunk:  # at least one chunk actually solved this invocation
         iters = np.stack(iters_per_chunk)  # (n_chunks, n_steps)
         np.savez(
@@ -207,6 +283,8 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             newton_iters=iters,
             mean_iters_per_segment=iters.mean(0),
             n_unconverged=n_unconverged,
+            case_converged=case_conv,
+            case_max_resid=case_resid,
         )
         if verbose:
             print(f"[simulate] Newton iters/segment: mean {iters.mean():.1f} "

@@ -60,13 +60,23 @@ class SteadyOptions:
     dtau_growth: float = 15.0  # multiplicative growth on accepted steps
     dtau_shrink: float = 0.25  # backoff on rejected (diverging) steps
     accept_factor: float = 2.0  # tolerate mild transient residual growth
+    # cap on CUMULATIVE residual growth: a step is only accepted while
+    # gnorm <= best_so_far * diverge_cap. Without this, accept_factor ratchets
+    # (gnorm is updated on every accepted step), so a lane can grow its
+    # residual 2x per iteration for the whole budget -- observed walking the
+    # adiabatic LLNL solve ~800 K down into a spurious quenched basin over a
+    # few dozen "accepted" steps (runs/flagship_llnl_eon cases 102/128/...)
+    diverge_cap: float = 1e3
     dtau_max_frac: float = 1e8  # effectively pure Newton once large
     jac_refresh_every: int = 2  # modified Newton: rebuild J every k iterations
     dtau_carry_max_frac: float = 1e2  # cap on warm-started dtau (recoverable)
-    # stall-accept: on TPU-emulated f64 the residual has a noise floor that can
-    # sit above rtol for a few lanes; accept a lane whose best residual stopped
-    # improving for `stall_iters` iterations at <= `stall_accept` tolerance
-    # units (Y error <= stall_accept * (rtol|Y| + atol) ~ 1e-4 relative)
+    # plateau handling: a lane whose best residual stopped improving for
+    # `stall_iters` iterations has hit its noise floor -- iterating further is
+    # wasted work, so the solve STOPS for that lane (returning its best
+    # iterate) regardless of the level. Quality is judged separately: the lane
+    # reports converged iff its best residual is <= `stall_accept` tolerance
+    # units (Y error <= stall_accept * (rtol|Y| + atol)); anything worse flows
+    # into PFRTrajectory.max_resid and the stage_simulate f64 rescue.
     stall_iters: int = 10
     stall_accept: float = 100.0
     # "lu": equilibrated f32 LU (XLA; column-sequential, slow at large ns)
@@ -101,6 +111,32 @@ class SteadyOptions:
     T_min: float = 250.0
     T_max: float = 3500.0
     dT_max: float = 150.0  # per-Newton-step temperature trust region [K]
+    # transient-fidelity phase (Eon): the adiabatic CSTR can have MULTIPLE
+    # genuine steady branches (h = h_in holds on each); Cantera's
+    # advance_to_steady_state lands on the branch the true transient from the
+    # inlet flows to, while large-dtau Newton picks a branch unpredictably
+    # (observed: the same LLNL segment landing dT=-5.3 K on TPU and -67 K on
+    # CPU, both "converged"). Lanes whose INITIAL residual exceeds
+    # `transient_resid` (fresh/far-from-steady states; continuation segments
+    # sit 1-2 orders below) must first integrate the pseudo-transient
+    # faithfully -- dtau capped at `transient_dtau_max` * t_res until
+    # `transient_tau` residence times of pseudo-time have accumulated --
+    # before the dtau controller is unleashed. This deterministically selects
+    # the Cantera-attracting branch at the cost of a few extra iterations on
+    # fresh segments only. transient_tau = 0 disables.
+    transient_tau: float = 3.0
+    transient_dtau_max: float = 0.75
+    transient_resid: float = 3e4
+    # per-SEGMENT temperature trust region [K]: the steady state of one
+    # PFR segment (1/800 of the tube, t_res ~ 1e-4 s) is continuous with its
+    # inlet -- healthy per-segment |dT| in the reference data is < 10 K -- so
+    # the iterate is confined to T_inlet +- this bound, making distant
+    # spurious roots (the 250 K quench branch) unreachable. A lane whose
+    # best iterate sits ON the bound cannot satisfy h = h_in there and is
+    # reported unconverged (-> f64 rescue). None = unrestricted (standalone
+    # CSTR solves, where a large steady-state dT can be the physical answer);
+    # the PFR chain driver (pfr.py) substitutes its 250 K continuity bound.
+    dT_segment_max: float | None = None
 
 
 def default_steady_options(dtype) -> "SteadyOptions":
@@ -120,9 +156,15 @@ def default_steady_options(dtype) -> "SteadyOptions":
         # skips the forced per-segment Jacobian rebuild (measured 6.2x on the
         # NUIG B=16 bench: 0.48 -> 3.0 traj/s, all lanes converged; f32-vs-f64
         # trajectory agreement unchanged, tests/test_reactors.py)
+        # transient_tau=0: the f32 path relies on the ratchet guards
+        # (diverge_cap, dT_segment_max, best-iterate return) plus the f64
+        # rescue for branch safety; the transient-fidelity phase's extra
+        # iterations land in the f32 residual noise floor and cost convergence
+        # declarations without measurably changing the returned states at
+        # dz = L/800 segment sizing (see VALIDATION.md).
         return SteadyOptions(
             rtol=1e-4, atol_Y=1e-9, stall_accept=30.0, stall_iters=8,
-            linear_solver="nsinv", carry_jacobian=True,
+            linear_solver="nsinv", carry_jacobian=True, transient_tau=0.0,
         )
     return SteadyOptions()
 
@@ -249,26 +291,49 @@ def solve_steady_eoff(
         g_new = _rhs_eoff(Y_new, T0, P0, Y_in, mdot_over_V, arr)
         gnorm_new = resid_norm(g_new, Y_new, diagJ)
         # accept/reject controller: grow dtau aggressively while the residual
-        # is non-increasing, back off (and force a refactor) when it diverges
-        accept = gnorm_new <= state["gnorm"] * opts.accept_factor
+        # is non-increasing, back off (and force a refactor) when it diverges;
+        # the best-so-far cap stops accept_factor from ratcheting the lane
+        # arbitrarily far from the continuation basin
+        accept = gnorm_new <= jnp.minimum(
+            state["gnorm"] * opts.accept_factor, state["best"] * opts.diverge_cap
+        )
         dtau_new = jnp.where(
             accept, state["dtau"] * opts.dtau_growth, state["dtau"] * opts.dtau_shrink
         )
         dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
         gnorm_next = jnp.where(accept, gnorm_new, state["gnorm"])
-        improved = gnorm_next < state["best"] * 0.7
+        # "progress" = a meaningfully new best (>=5%)
+        improved = gnorm_next < state["best"] * 0.95
         best_new = jnp.minimum(state["best"], gnorm_next)
-        bad_new = jnp.where(improved, 0, state["bad"] + 1)
-        stalled = jnp.logical_and(
-            bad_new >= opts.stall_iters, best_new <= opts.stall_accept
+        # plateau-stop: stall_iters ACCEPTED Newton-regime steps without
+        # progress means the lane bounces in its noise floor -- stop, whatever
+        # the level; quality is judged on `best` at return
+        # (SteadyOptions.stall_accept). Two situations that look like "no
+        # progress" but are NOT a noise floor never accumulate evidence:
+        # the PTC transient ramp (dtau < t_res resets the counter -- slow
+        # residual progress there is expected), and rejected steps (the
+        # controller searching for a workable dtau freezes the counter).
+        # Observed: a fresh JetSurf segment killed mid reject-cycle at resid
+        # 4.5e3 that converges to 0.8 at iteration 32 under either naive rule.
+        in_ramp = state["dtau"] < t_res
+        bad_new = jnp.where(
+            jnp.logical_or(improved, in_ramp),
+            0,
+            jnp.where(accept, state["bad"] + 1, state["bad"]),
         )
+        stalled = bad_new >= opts.stall_iters
         newly_done = jnp.logical_or(
             jnp.logical_and(accept, gnorm_new <= 1.0), stalled
         )
         done = state["done"]
         advance = jnp.logical_and(accept, ~done)
+        # best-residual iterate: what the solve RETURNS. An unconverged lane
+        # hands its best state (not wherever the iteration budget left it) to
+        # the next segment, bounding the damage of any residual-growing walk.
+        new_best = jnp.logical_and(advance, gnorm_new < state["best"])
         return {
             "Y": jnp.where(advance[:, None], Y_new, state["Y"]),
+            "Ybest": jnp.where(new_best[:, None], Y_new, state["Ybest"]),
             "g": jnp.where(advance[:, None], g_new, state["g"]),
             "fac": fac,
             "diagJ": diagJ,
@@ -303,6 +368,7 @@ def solve_steady_eoff(
     )
     state0 = {
         "Y": Y_guess,
+        "Ybest": Y_guess,
         "g": g0,
         "fac": dummy_fac,
         "diagJ": diagJ0 if diagJ0 is not None else jnp.ones((B, ns), dtype),
@@ -321,10 +387,11 @@ def solve_steady_eoff(
         ),
     }
     out = jax.lax.while_loop(cond, body, state0)
-    return out["Y"], {
+    resid = jnp.minimum(out["best"], out["gnorm"])
+    return out["Ybest"], {
         "iterations": out["it"],
-        "resid": out["gnorm"],
-        "converged": out["done"],
+        "resid": resid,
+        "converged": resid <= opts.stall_accept,
         "dtau": out["dtau"],
         # carried NS preconditioner (None for "lu"): seeding the NEXT segment's
         # solve with this avoids the bootstrap LU rescue there (continuation:
@@ -364,6 +431,12 @@ def solve_steady_eon(
     # is O(1000 K) while Y is O(1); solve in x_scaled = [Y, T/T_scale]
     T_scale = jnp.asarray(1000.0, dtype)
     D = jnp.ones((n,), dtype).at[ns].set(T_scale)
+
+    # per-segment trust region anchored at the segment INLET temperature
+    # (= T_guess in the pfr continuation): see SteadyOptions.dT_segment_max
+    dT_seg = jnp.inf if opts.dT_segment_max is None else opts.dT_segment_max
+    T_lo = jnp.maximum(T_guess - dT_seg, opts.T_min)
+    T_hi = jnp.minimum(T_guess + dT_seg, opts.T_max)
 
     use_ns = opts.linear_solver == "nsinv"
 
@@ -442,27 +515,51 @@ def solve_steady_eon(
         # trust region: a single segment never moves T by hundreds of K; an
         # unguarded step can jump to a spurious high-T basin
         dT = jnp.clip(delta[:, ns], -opts.dT_max, opts.dT_max)
-        T_new = jnp.clip(state["T"] + dT, opts.T_min, opts.T_max)
+        T_new = jnp.clip(state["T"] + dT, T_lo, T_hi)
         g_new = rhs(Y_new, T_new)
         gnorm_new = resid_norm(g_new, Y_new, T_new, diagJ)
-        accept = gnorm_new <= state["gnorm"] * opts.accept_factor
+        accept = gnorm_new <= jnp.minimum(
+            state["gnorm"] * opts.accept_factor, state["best"] * opts.diverge_cap
+        )
         dtau_new = jnp.where(
             accept, state["dtau"] * opts.dtau_growth, state["dtau"] * opts.dtau_shrink
         )
         dtau_new = jnp.clip(dtau_new, 1e-12 * t_res, opts.dtau_max_frac * t_res)
-        gnorm_next = jnp.where(accept, gnorm_new, state["gnorm"])
-        improved = gnorm_next < state["best"] * 0.7
-        best_new = jnp.minimum(state["best"], gnorm_next)
-        bad_new = jnp.where(improved, 0, state["bad"] + 1)
-        stalled = jnp.logical_and(
-            bad_new >= opts.stall_iters, best_new <= opts.stall_accept
+        # transient-fidelity phase: keep far-from-steady lanes on small,
+        # transient-resolving steps until enough pseudo-time has accumulated
+        in_tr = jnp.logical_and(need_tr, state["tau"] < opts.transient_tau)
+        dtau_new = jnp.where(
+            in_tr, jnp.minimum(dtau_new, opts.transient_dtau_max * t_res), dtau_new
         )
+        gnorm_next = jnp.where(accept, gnorm_new, state["gnorm"])
+        # "progress" = a meaningfully new best (>=5%); demanding a large
+        # per-step improvement here would plateau-stop lanes that are
+        # converging slowly but genuinely (observed: a fresh JetSurf
+        # segment killed at resid 4.5e3 with a 30% criterion)
+        improved = gnorm_next < state["best"] * 0.95
+        best_new = jnp.minimum(state["best"], gnorm_next)
+        # plateau-stop on accepted Newton-regime steps only (see the Eoff
+        # body); the PTC ramp and the transient-fidelity phase reset the
+        # counter, rejected steps freeze it
+        in_ramp = state["dtau"] < t_res
+        bad_new = jnp.where(
+            jnp.logical_or(improved, jnp.logical_or(in_tr, in_ramp)),
+            0,
+            jnp.where(accept, state["bad"] + 1, state["bad"]),
+        )
+        stalled = bad_new >= opts.stall_iters
         newly_done = jnp.logical_or(jnp.logical_and(accept, gnorm_new <= 1.0), stalled)
         done = state["done"]
         advance = jnp.logical_and(accept, ~done)
+        new_best = jnp.logical_and(advance, gnorm_new < state["best"])
         return {
             "Y": jnp.where(advance[:, None], Y_new, state["Y"]),
             "T": jnp.where(advance, T_new, state["T"]),
+            "Ybest": jnp.where(new_best[:, None], Y_new, state["Ybest"]),
+            "Tbest": jnp.where(new_best, T_new, state["Tbest"]),
+            "tau": jnp.where(
+                advance, state["tau"] + state["dtau"] / t_res, state["tau"]
+            ),
             "g": jnp.where(advance[:, None], g_new, state["g"]),
             "fac": fac,
             "diagJ": diagJ,
@@ -481,6 +578,16 @@ def solve_steady_eon(
         dtau0 = jnp.full((B,), 1.0, dtype) * opts.dtau0_frac * t_res
     g0 = rhs(Y_guess, T_guess)
     gnorm0 = resid_norm(g0, Y_guess, T_guess, jnp.zeros((B, ns), dtype))
+    # lanes needing the transient-fidelity phase (see SteadyOptions); the
+    # warm-started dtau is clamped so the phase starts on resolving steps
+    need_tr = (
+        gnorm0 > opts.transient_resid
+        if opts.transient_tau > 0
+        else jnp.zeros((B,), bool)
+    )
+    dtau0 = jnp.where(
+        need_tr, jnp.minimum(dtau0, opts.transient_dtau_max * t_res), dtau0
+    )
     dummy_fac = (
         (fac0 if fac0 is not None else ns_init_state(B, n, dtype))
         if use_ns
@@ -495,6 +602,9 @@ def solve_steady_eon(
     state0 = {
         "Y": Y_guess,
         "T": T_guess,
+        "Ybest": Y_guess,
+        "Tbest": T_guess,
+        "tau": jnp.zeros((B,), dtype),
         "g": g0,
         "fac": dummy_fac,
         "diagJ": diagJ0 if diagJ0 is not None else jnp.ones((B, ns), dtype),
@@ -513,10 +623,11 @@ def solve_steady_eon(
         ),
     }
     out = jax.lax.while_loop(cond, body, state0)
-    return out["Y"], out["T"], {
+    resid = jnp.minimum(out["best"], out["gnorm"])
+    return out["Ybest"], out["Tbest"], {
         "iterations": out["it"],
-        "resid": out["gnorm"],
-        "converged": out["done"],
+        "resid": resid,
+        "converged": resid <= opts.stall_accept,
         "dtau": out["dtau"],
         "fac": out["fac"] if use_ns else None,
         "diagJ": out["diagJ"],

@@ -58,6 +58,11 @@ class PFRTrajectory:
     z: jax.Array  # (B, n+1) axial position [m]
     converged: jax.Array  # (B,) all segments converged
     newton_iters: jax.Array  # (n,) solver iterations per segment (diagnostics)
+    # (B,) worst per-segment residual in tolerance units (1.0 = converged to
+    # rtol; stall-accepted lanes sit above 1). Drives the f64 rescue pass in
+    # stage_simulate: only cases whose residual implies a real accuracy loss
+    # are re-solved.
+    max_resid: jax.Array
 
     def concentrations(self, arr: MechanismArrays):
         """Molar concentrations [kmol/m^3], shape (B, n+1, ns)."""
@@ -95,6 +100,11 @@ def simulate_pfr(
     jittable; wrap in jax.jit for production use.
     """
     opts = opts or default_steady_options(arr.dtype)
+    if opts.dT_segment_max is None:
+        # chain continuity bound: one segment (1/800 of the tube) cannot move
+        # T by hundreds of K; confining each segment solve to T_in +- 250 K
+        # makes the spurious quenched branch unreachable (see SteadyOptions)
+        opts = dataclasses.replace(opts, dT_segment_max=250.0)
     dtype = arr.dtype
     T0 = jnp.asarray(T0, dtype)
     P0 = jnp.asarray(P0, dtype)
@@ -168,10 +178,10 @@ def simulate_pfr(
         diagJ_next = info["diagJ"] if carry_jac else None
         hc_next = jnp.ones((), bool) if carry_jac else None
         return (Y, T, info["dtau"], info["fac"], diagJ_next, hc_next), (
-            Y, T, rho, t_r, u, info["converged"], info["iterations"]
+            Y, T, rho, t_r, u, info["converged"], info["iterations"], info["resid"]
         )
 
-    (Yf, Tf, dtau_f, _, _, _), (Ys, Ts, rhos, trs, us, convs, iters) = jax.lax.scan(
+    (Yf, Tf, dtau_f, _, _, _), (Ys, Ts, rhos, trs, us, convs, iters, resids) = jax.lax.scan(
         segment,
         (Y_start, T_start, dtau_start, fac_start, diagJ_start, hc_start),
         None, length=n_steps,
@@ -198,6 +208,7 @@ def simulate_pfr(
         z=z,
         converged=jnp.all(convs, axis=0),
         newton_iters=iters,
+        max_resid=jnp.max(resids, axis=0),
     )
     if return_state:
         return traj, (Yf, Tf, dtau_f)
@@ -283,6 +294,7 @@ def _stitch_windows(parts, length, n_steps):
     ts, Ts, Ys, rhos, us = [], [], [], [], []
     convs = []
     iters = []
+    resids = []
     for i, p in enumerate(parts):
         sl = slice(None) if i == 0 else slice(1, None)
         ts.append(np.asarray(p.t)[:, sl] + t_off[:, None])
@@ -292,6 +304,7 @@ def _stitch_windows(parts, length, n_steps):
         us.append(np.asarray(p.u)[:, sl])
         convs.append(np.asarray(p.converged))
         iters.append(np.asarray(p.newton_iters))
+        resids.append(np.asarray(p.max_resid))
         t_off = t_off + np.asarray(p.t)[:, -1]
     n1 = n_steps + 1
     z = np.linspace(0.0, 1.0, n1)[None, :] * np.atleast_1d(length)[:, None]
@@ -305,4 +318,5 @@ def _stitch_windows(parts, length, n_steps):
         z=np.broadcast_to(z, (B, n1)).copy(),
         converged=np.logical_and.reduce(convs),
         newton_iters=np.concatenate(iters),
+        max_resid=np.maximum.reduce(resids),
     )

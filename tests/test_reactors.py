@@ -228,3 +228,42 @@ class TestEonJacobianFinite:
         # adiabatic pyrolysis cools the gas; fixed-point would stay at 1000.0
         assert T[-1] < 999.0
         assert np.asarray(traj.newton_iters).max() <= 40
+
+    @pytest.mark.slow
+    def test_llnl_eon_no_quench_basin_hop(self):
+        """Regression: flagship LLNL Eon case 102 (T0=1089.2 K, P=1.451 bar)
+        quenched 825 K in ONE segment -- the accept controller's 2x-per-step
+        tolerance ratcheted (gnorm updates on every accepted step), letting the
+        lane walk into the spurious cold branch over a few dozen iterations.
+        Fixed by the best-so-far diverge_cap + the per-segment dT trust region
+        + best-iterate return (reactors/cstr.py)."""
+        mech = load_mechanism(
+            "/root/reference/DETAILED_KINETIC_MODEL/LLNL.yaml", name="LLNL"
+        )
+        arr = to_device_arrays(mech, dtype=jnp.float32)
+        from hexpyro.reactors.cstr import default_steady_options
+        from hexpyro.thermo import nasa7
+
+        traj = simulate_pfr(
+            arr, jnp.full((1,), 1089.22531), jnp.full((1,), 1.45106821e5),
+            species_names=mech.species_names, n_steps=6, length=6 / 800.0,
+            energy_on=True,
+            opts=default_steady_options(jnp.float32),  # production f32 path
+        )
+        T = np.asarray(traj.T)[0]
+        assert np.isfinite(T).all()
+        # pre-fix this collapsed to 264 K by segment 4; the true f64
+        # transient-tracking answer is -5.28 K on segment 1, ~ -22 K over 6
+        assert T.min() > T[0] - 40.0
+        assert abs((T[1] - T[0]) - (-5.28)) < 1.0
+        assert float(np.asarray(traj.max_resid)[0]) < 300.0
+        # adiabatic invariant: h(T_n, Y_n) == h(T0, Y_feed) along the chain
+        Y = jnp.asarray(traj.Y[0])
+        h = nasa7.enthalpy_mass(
+            jnp.asarray(T), Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs
+        )
+        cp = nasa7.cp_mass(
+            jnp.asarray(T), Y, arr.mw, arr.nasa_tmid, arr.nasa_coeffs
+        )
+        drift_K = np.abs(np.asarray((h - h[0]) / cp))
+        assert drift_K.max() < 1.0

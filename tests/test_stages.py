@@ -57,6 +57,28 @@ class TestStages:
         mat = np.loadtxt(preds[0])
         assert mat.shape == (7, 5 + 7)  # [t, T, P, L, u0, C1..C7]
 
+    @pytest.mark.slow  # two fresh jit compiles (f32 sweep + f64 rescue), ~5 min CPU
+    def test_simulate_rescue_pass(self, tiny_cfg, monkeypatch):
+        """Forcing the rescue threshold to ~0 sends every case through the f64
+        re-solve; the rescued txt files must overwrite the f32 ones and the
+        diagnostics must record the post-rescue quality."""
+        cfg = dataclasses.replace(
+            tiny_cfg, out_root=tiny_cfg.out_root + "/rescue", n_cases=4,
+            chunk_size=4, dtype="f32", x64=False,
+        )
+        stages.stage_sample(cfg)
+        monkeypatch.setenv("HEXPYRO_RESCUE_RESID", "1e-6")
+        paths = stages.stage_simulate(cfg, verbose=False)
+        assert len(paths) == 4
+        diag = np.load(f"{cfg.dataset_dir}/solver_diagnostics.npz")
+        # rescue re-solved every case at f64: residuals are at the f64
+        # solver's converged level, far below the f32 stall floor
+        assert diag["case_max_resid"].shape == (4,)
+        assert np.all(diag["case_max_resid"] < 120.0)
+        assert bool(np.all(diag["case_converged"]))
+        d = artifacts.read_trajectory_txt(paths[0])
+        assert np.all(np.diff(d["t"]) > 0)
+
     def test_deploy_time_grid_unit_consistency(self, tiny_cfg):
         """Closed-loop units check: a well-trained time-MLP deployed through
         stage_deploy must reproduce the TRUE time grids it was trained on.
