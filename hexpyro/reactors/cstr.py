@@ -156,15 +156,14 @@ def default_steady_options(dtype) -> "SteadyOptions":
         # skips the forced per-segment Jacobian rebuild (measured 6.2x on the
         # NUIG B=16 bench: 0.48 -> 3.0 traj/s, all lanes converged; f32-vs-f64
         # trajectory agreement unchanged, tests/test_reactors.py)
-        # transient_tau=0: the f32 path relies on the ratchet guards
-        # (diverge_cap, dT_segment_max, best-iterate return) plus the f64
-        # rescue for branch safety; the transient-fidelity phase's extra
-        # iterations land in the f32 residual noise floor and cost convergence
-        # declarations without measurably changing the returned states at
-        # dz = L/800 segment sizing (see VALIDATION.md).
+        # transient-fidelity phase stays ON (same as f64): measured on a
+        # 16-case LLNL Eon TPU sweep at production dz = L/800 it costs zero
+        # extra iterations (guard lanes finish their capped steps inside the
+        # iterations Newton needs anyway) and deterministically selects the
+        # transient-attracting branch on fresh multi-branch segments.
         return SteadyOptions(
             rtol=1e-4, atol_Y=1e-9, stall_accept=30.0, stall_iters=8,
-            linear_solver="nsinv", carry_jacobian=True, transient_tau=0.0,
+            linear_solver="nsinv", carry_jacobian=True,
         )
     return SteadyOptions()
 
