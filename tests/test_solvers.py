@@ -81,3 +81,24 @@ class TestDopri5:
         np.testing.assert_allclose(
             np.asarray(ys[-1]), np.asarray(u0) * np.exp(-2.0), rtol=1e-4
         )
+
+    def test_exhausted_budget_lags_not_zeros(self):
+        """An interval whose adaptive-step budget runs out must emit the state
+        reached so far (lagging the true solution), NEVER a zero row -- the
+        round-1 scan carried a zero-initialized output array and returned
+        zeros for the unreached tail, silently corrupting training losses."""
+        u0 = jnp.array([1.0])
+        ts = jnp.linspace(0.0, 1.0, 11)
+        # budget 1 step/interval at extreme tolerance: every step is rejected,
+        # so the state barely advances and every output lags
+        ys = odeint_dopri5(
+            lambda t, u: -u, u0, ts, rtol=1e-14, atol=1e-14,
+            max_steps_per_interval=1,
+        )
+        ys = np.asarray(ys)
+        assert np.all(np.isfinite(ys))
+        # lagged, not frozen-at-zero: outputs stay within the true range
+        assert np.all(ys > np.exp(-1.0) - 1e-6)
+        assert np.all(ys <= 1.0 + 1e-6)
+        # monotone non-increasing (decay ODE): lagging preserves the shape
+        assert np.all(np.diff(ys[:, 0]) <= 1e-9)
