@@ -504,13 +504,16 @@ def stage_deploy(cfg: PipelineConfig, crnn_npz: str, time_mlp_dir: str,
             _save_pred(i, np.asarray(tgrid[i]), float(T0[i]), Y_pred[i])
         df = metric_table(Y_true, Y_pred, species7, conds)
     else:
-        tgrid_f, Tprof_f, species_f = model.predict_eon_full(T0, P0)
+        # dedupe the expensive full trajectory per unique (T0, P0) and trim
+        # every case in one batched time-MLP call (reference dict + per-case
+        # loop, surrogate_model_Eon_single_model.py:293-325,338-357)
+        uniq, inv = dep.unique_conditions(cases[:, 0], cases[:, 1] * 1e5)
+        tgrid_f, Tprof_f, species_f = model.predict_eon_full(
+            jnp.asarray(uniq[:, 0]), jnp.asarray(uniq[:, 1])
+        )
+        trims = model.trim_eon_batch(tgrid_f, species_f, Tprof_f, inv, T0, P0, L, u0v)
         Y_pred_list, Y_true_list = [], []
-        for i in range(len(cases)):
-            t_tr, T_tr, sp_tr = model.trim_eon_case(
-                tgrid_f[i], species_f[i], Tprof_f[i],
-                float(T0[i]), float(P0[i]), float(L[i]), float(u0v[i]),
-            )
+        for i, (t_tr, T_tr, sp_tr) in enumerate(trims):
             ref = dep.resample_nearest(truth[i]["t"], truth[i]["C"].T[:7] * 1e3, t_tr)
             Y_pred_list.append(sp_tr)
             Y_true_list.append(ref)
@@ -653,13 +656,12 @@ def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
 
     def run(model):
         if cfg.energy_on:
-            tg, Tp, sp = model.predict_eon_full(T0, P0)
-            ts, ys = [], []
-            for i in range(3):
-                t_tr, _, s_tr = model.trim_eon_case(
-                    tg[i], sp[i], Tp[i], float(T0[i]), float(P0[i]), float(L[i]), float(u0[i]))
-                ts.append(t_tr); ys.append(s_tr)
-            return ts, ys
+            uniq, inv = dep.unique_conditions(np.asarray(T0), np.asarray(P0))
+            tg, Tp, sp = model.predict_eon_full(
+                jnp.asarray(uniq[:, 0]), jnp.asarray(uniq[:, 1])
+            )
+            trims = model.trim_eon_batch(tg, sp, Tp, inv, T0, P0, L, u0)
+            return [t for t, _, _ in trims], [s for _, _, s in trims]
         tg, sp = model.predict_eoff(T0, P0, L, u0)
         return [np.asarray(tg[i]) for i in range(3)], [np.asarray(sp[i]) for i in range(3)]
 

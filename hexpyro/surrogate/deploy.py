@@ -167,18 +167,52 @@ class SurrogateModel:
         """Trim one full trajectory at the time-MLP end time for (L, u0) (:338-357).
 
         Returns numpy (t_trim, T_trim, species_trim (n_obs, cut+1)) with the
-        initial row zeroed.
+        initial row zeroed. Single-case convenience over `trim_eon_batch`.
+        """
+        return self.trim_eon_batch(
+            jnp.asarray(tgrid_full)[None], jnp.asarray(species_full)[None],
+            jnp.asarray(Tprof_full)[None], np.zeros(1, int),
+            [T0], [P0], [L], [u0],
+        )[0]
+
+    def trim_eon_batch(self, tgrid_full, species_full, Tprof_full, case_to_full,
+                       T0, P0, L, u0):
+        """Trim every case in ONE batched time-MLP call (:338-357, vectorized).
+
+        tgrid_full (U, 801), species_full (U, ns, 801), Tprof_full (U, 801) are
+        the deduped full trajectories; case_to_full (B,) maps each case to its
+        unique (T0, P0) row. Returns a list of B numpy tuples
+        (t_trim, T_trim, species_trim (n_obs, cut+1)) with initial rows zeroed.
+        The cuts are ragged, so only the final slicing loops on the host; the
+        MLP forward and the argmin run as one device computation (the reference
+        re-predicts the grid per case in a Python loop, :338-345).
         """
         t_short = predict_time_grid(
             self.time_model,
-            jnp.asarray([T0]), jnp.asarray([P0]), jnp.asarray([L]), jnp.asarray([u0]),
-        )[0]
-        end_time = float(t_short[-1])
-        arr = np.asarray(tgrid_full)
-        cut = int(np.argmin(np.abs(arr - end_time)))
-        species = np.asarray(species_full)[: self.n_obs, : cut + 1].copy()
-        species[:-1, 0] = 0.0
-        return arr[: cut + 1], np.asarray(Tprof_full)[: cut + 1], species
+            jnp.asarray(T0), jnp.asarray(P0), jnp.asarray(L), jnp.asarray(u0),
+        )
+        tg = np.asarray(tgrid_full)
+        case_to_full = np.asarray(case_to_full)
+        end_times = np.asarray(t_short[:, -1])
+        cuts = np.abs(tg[case_to_full] - end_times[:, None]).argmin(axis=1)
+        sp = np.asarray(species_full)
+        Tp = np.asarray(Tprof_full)
+        out = []
+        for u, cut in zip(case_to_full, cuts):
+            s = sp[u][: self.n_obs, : cut + 1].copy()
+            s[:-1, 0] = 0.0
+            out.append((tg[u][: cut + 1], Tp[u][: cut + 1], s))
+        return out
+
+
+def unique_conditions(T0, P0):
+    """Dedupe (T0, P0) rows like the reference's dict keyed (T0, P0) (:293-325).
+
+    Returns (uniq (U, 2), inverse (B,)) with uniq[inverse] == stacked input.
+    """
+    pairs = np.stack([np.asarray(T0), np.asarray(P0)], axis=1)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    return uniq, inv.reshape(-1)
 
 
 def resample_nearest(t_ref, y_ref, t_query):
