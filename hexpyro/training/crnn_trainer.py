@@ -121,6 +121,12 @@ class CRNNTrainConfig:
     # exactly by replaying the recorded validation losses. History appends
     # instead of restarting, so the npz keeps the complete loss curve.
     resume: bool = True
+    # data-parallel training over the device mesh: shard the per-step batch
+    # axis across jax.devices() (parameters/optimizer replicated, XLA inserts
+    # the gradient psum). Engages automatically when more than one device is
+    # present and batch_size divides evenly; loss semantics are unchanged
+    # (same mean over the same global batch).
+    use_mesh: bool = True
 
 
 def make_splits(n_exp: int, seed: int = 42):
@@ -289,6 +295,30 @@ def train_crnn(
 
     bs = tcfg.batch_size
     n_batches = max(1, len(train_idx) // bs)
+
+    # multi-device data parallelism (the TPU-native Pool replacement for the
+    # training stage, SURVEY.md section 2): batch axis sharded, params
+    # replicated; XLA partitions the vmapped ODE solves and inserts one psum
+    # for the loss/grad reduction. Placement-only change -- the jitted update
+    # computes the identical global-batch mean.
+    batch_shard = None
+    n_dev = jax.device_count()
+    if tcfg.use_mesh and n_dev > 1 and bs % n_dev == 0:
+        from ..parallel import mesh as pmesh
+        from jax.sharding import NamedSharding, PartitionSpec as JP
+
+        dp_mesh = pmesh.make_mesh()
+        batch_shard = NamedSharding(dp_mesh, JP(None, pmesh.CASES_AXIS))
+        rep = pmesh.replicated(dp_mesh)
+        p = jax.device_put(p, rep)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), opt_state
+        )
+        if len(valid_idx) % n_dev == 0:
+            vb_shard = pmesh.case_sharding(dp_mesh)
+            valid_batch = tuple(jax.device_put(v, vb_shard) for v in valid_batch)
+        if verbose:
+            print(f"sharding batch axis {bs} over {n_dev} devices")
     for epoch in range(start_epoch, tcfg.epochs):
         perm = rng.permutation(len(train_idx))[: n_batches * bs]
         idx = jnp.asarray(np.asarray(train_idx)[perm].reshape(n_batches, bs))
@@ -296,6 +326,8 @@ def train_crnn(
             jnp.stack([data[k][idx[i]] for i in range(n_batches)])
             for k in ("tsteps", "Tlist", "u0", "ylabel", "yscale")
         )
+        if batch_shard is not None:
+            batches = tuple(jax.device_put(b, batch_shard) for b in batches)
         lr = tcfg.learning_rate * float(plateau.scale)
         p, opt_state, train_loss = train_epoch(p, opt_state, batches, lr)
         valid_loss = eval_loss(p, *valid_batch)
