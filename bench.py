@@ -192,9 +192,205 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str) -> dict:
     }
 
 
+def _train_bench_data(n_exp: int = 64):
+    """CRNN training tensors: the flagship JetSurf Eoff dataset when present
+    (runs/flagship/datasets/2D_off), else synthetic arrays of the same shapes.
+    """
+    import numpy as np
+
+    from hexpyro.pipeline import artifacts
+    from hexpyro.training.crnn_trainer import load_crnn_dataset
+
+    ds_dir = "runs/flagship/datasets/2D_off"
+    paths = [
+        os.path.join(ds_dir, artifacts.trajectory_case_filename("JetSurf", False, k + 1))
+        for k in range(n_exp)
+    ]
+    if all(os.path.exists(p) for p in paths):
+        ds = load_crnn_dataset(paths)
+        return ds.tsteps, ds.Tlist, ds.u0, ds.ylabel, ds.yscale, "flagship JetSurf Eoff"
+    rng = np.random.default_rng(0)
+    ntotal = 801
+    T0 = rng.uniform(870, 1150, n_exp)
+    tsteps = np.linspace(0, 0.35, ntotal)[None].repeat(n_exp, 0)
+    Tlist = T0[:, None].repeat(ntotal, 1)
+    u0 = np.zeros((n_exp, 9))
+    u0[:, 6] = rng.uniform(15, 30, n_exp)
+    ylabel = rng.random((n_exp, 9, ntotal)) * 5.0
+    ylabel[:, :, 0] = u0
+    yscale = np.clip(ylabel.max(2) - ylabel.min(2), 1e-6, None)
+    return tsteps, Tlist, u0, ylabel, yscale, "synthetic (flagship shapes)"
+
+
+def run_train_bench() -> dict:
+    """Second north-star metric (BASELINE.json): CRNN train steps/sec.
+
+    One step = the flagship production update (crnn_trainer.train_epoch body):
+    batched dopri5 solve over 801-point grids, fwd+bwd, global-norm clip,
+    AdamW -- jitted, K steps per lax.scan dispatch, flagship batch size 8.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from hexpyro.surrogate.crnn import config_for, init_parameters
+    from hexpyro.training import crnn_trainer as ct
+
+    B = int(os.environ.get("HEXPYRO_BENCH_TRAIN_B", "8"))
+    K = int(os.environ.get("HEXPYRO_BENCH_TRAIN_STEPS", "40"))
+    tsteps, Tlist, u0, ylabel, yscale, source = _train_bench_data()
+    ccfg = config_for("JetSurf")
+    tcfg = ct.CRNNTrainConfig(batch_size=B, max_steps_per_interval=2)
+    dt = jnp.float32
+    p = jnp.asarray(init_parameters(0, ccfg), dt)
+    opt = optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay),
+    )
+    opt_state = opt.init(p)
+    idx = np.resize(np.arange(tsteps.shape[0]), (K, B))
+    data = (tsteps, Tlist, u0, ylabel, yscale)
+    batches = tuple(jnp.asarray(d[idx], dt) for d in data)
+
+    @jax.jit
+    def run_steps(p, opt_state, batches):
+        def one(carry, batch):
+            p, opt_state = carry
+            ts, Tl, u0b, yl, ysc = batch
+            loss, grads = jax.value_and_grad(ct.batch_loss)(
+                p, ccfg, ts, Tl, u0b, yl, ysc, tcfg
+            )
+            updates, opt_state = opt.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt_state), loss
+
+        (p, opt_state), losses = jax.lax.scan(one, (p, opt_state), batches)
+        return p, opt_state, losses
+
+    t0 = time.time()
+    out = jax.block_until_ready(run_steps(p, opt_state, batches))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = jax.block_until_ready(run_steps(p, opt_state, batches))
+    elapsed = time.time() - t0
+    steps_per_s = K / elapsed
+    return {
+        "steps_per_s": round(steps_per_s, 3),
+        "experiments_per_s": round(steps_per_s * B, 2),
+        "batch": B,
+        "steps_timed": K,
+        "compile_s": round(compile_s, 1),
+        "loss_finite": bool(np.isfinite(np.asarray(out[2])).all()),
+        "data": source,
+    }
+
+
+def measure_torch_train_baseline(max_steps: int = 5) -> dict:
+    """Reference-equivalent CRNN train-step cost: torch CPU, batch-1 SGD.
+
+    Mirrors the reference trainer's hot loop (Eoff_surrogate_model_training.py
+    :384-436): parameter transform, ODE solve on the 801-point grid with
+    reverse-mode through every solver step, grad clip, AdamW. Deliberately
+    reference-FRIENDLY: a fixed ONE RK45 stage-set per interval (torchdiffeq's
+    adaptive dopri5 at atol 1e-3 takes >= 1 accepted step plus controller
+    overhead), no torchdiffeq dependency. Run via
+    HEXPYRO_BENCH_TRAIN_BASELINE=1 python bench.py.
+    """
+    import numpy as np
+    import torch
+
+    from hexpyro.constants import R_KCAL_MOL
+    from hexpyro.surrogate.crnn import (
+        _nullspace_projector,
+        config_for,
+        init_parameters,
+    )
+
+    torch.set_num_threads(1)  # reference pins workers to one thread
+    ccfg = config_for("JetSurf")
+    tsteps, Tlist, u0, ylabel, yscale, source = _train_bench_data(n_exp=8)
+    slope_A, slope_b, slope_Ea = ccfg.slopes
+    proj = torch.tensor(_nullspace_projector(ccfg.proj_eps), dtype=torch.float32)
+
+    def convert(p):
+        w_b = torch.clamp(torch.abs(p[:9]) * slope_A, ccfg.a_low, 21.0)
+        w_in_b = torch.clamp(p[9:18] * slope_b, -3.0, 3.0)
+        w_in_ea = torch.clamp(torch.abs(p[18:27] * slope_Ea), ccfg.ea_low, 200.0)
+        w_out = torch.clamp(proj @ p[27:108].reshape(9, 9), -2.0, 2.0)
+        w_in = torch.cat(
+            [torch.clamp(-w_out, 0.0, 2.0), w_in_ea[None], w_in_b[None]], dim=0
+        )
+        return w_in, w_b, w_out
+
+    def rhs(u, T, w_in, w_b, w_out):
+        v = torch.cat(
+            [torch.log(torch.clamp(u, ccfg.lb, ccfg.ub)),
+             torch.tensor([-1.0 / (R_KCAL_MOL * T), np.log(T)], dtype=torch.float32)]
+        )
+        inter = torch.clamp(v @ w_in + w_b, -ccfg.intermediate_clip, ccfg.intermediate_clip)
+        return torch.clamp(torch.exp(inter) @ w_out.T, -ccfg.du_clip, ccfg.du_clip)
+
+    p = torch.tensor(init_parameters(0, ccfg), dtype=torch.float32, requires_grad=True)
+    optimizer = torch.optim.AdamW([p], lr=5e-3)
+    ts = tsteps[0]
+    Tprof = Tlist[0]
+    y0 = torch.tensor(u0[0], dtype=torch.float32)
+    yl = torch.tensor(ylabel[0][:7], dtype=torch.float32)
+    ysc = torch.tensor(yscale[0][:7, None], dtype=torch.float32)
+
+    def one_step():
+        optimizer.zero_grad()
+        w_in, w_b, w_out = convert(p)
+        u = y0
+        sol = [u]
+        # one RK45 stage-set (6 RHS evals, FSAL ignored) per output interval
+        a = [[ ], [1/5], [3/40, 9/40], [44/45, -56/15, 32/9],
+             [19372/6561, -25360/2187, 64448/6561, -212/729],
+             [9017/3168, -355/33, 46732/5247, 49/176, -5103/18656]]
+        bsol = [35/384, 0.0, 500/1113, 125/192, -2187/6784, 11/84]
+        for i in range(len(ts) - 1):
+            h = float(ts[i + 1] - ts[i])
+            T = float(Tprof[i])
+            ks = [rhs(u, T, w_in, w_b, w_out)]
+            for row in a[1:]:
+                du = sum(c * k for c, k in zip(row, ks))
+                ks.append(rhs(u + h * du, T, w_in, w_b, w_out))
+            u = u + h * sum(c * k for c, k in zip(bsol, ks))
+            sol.append(u)
+        pred = torch.stack(sol, dim=1)[:7]
+        loss = torch.mean(((pred - yl) / ysc) ** 2)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_([p], 200.0)
+        optimizer.step()
+        return float(loss.detach())
+
+    one_step()  # warm caches
+    t0 = time.time()
+    for _ in range(max_steps):
+        one_step()
+    elapsed = time.time() - t0
+    return {
+        "steps_per_s": round(max_steps / elapsed, 4),
+        "solver": "fixed 1xRK45/interval, torch CPU 1 thread, batch 1",
+        "data": source,
+    }
+
+
+# reference-equivalent torch-CPU train-step rate, measured in this image via
+# HEXPYRO_BENCH_TRAIN_BASELINE=1 (see measure_torch_train_baseline) on the
+# flagship JetSurf Eoff dataset: 0.176 steps/s (5.7 s/step). One reference
+# step touches ONE experiment (batch-1 SGD) vs our batch of 8, so the
+# comparison below is per-experiment throughput.
+TORCH_TRAIN_BASELINE_STEPS_PER_S = 0.176
+
+
 def main() -> None:
     if os.environ.get("HEXPYRO_BENCH_BASELINE"):
         print(json.dumps(measure_cpu_baseline()))
+        return
+    if os.environ.get("HEXPYRO_BENCH_TRAIN_BASELINE"):
+        print(json.dumps(measure_torch_train_baseline()))
         return
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
     # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the
@@ -209,6 +405,19 @@ def main() -> None:
         sys.stderr.write(f"bench retry after: {type(e).__name__}: {e}\n")
         result = run(max(B // 4, 4), max(n_steps // 2, 10), mech_name, dtype_name)
         result["detail"]["retried"] = True
+    # second north-star metric (BASELINE.json): CRNN train steps/sec
+    try:
+        tb = run_train_bench()
+        result["crnn_train_steps_per_s"] = tb["steps_per_s"]
+        if TORCH_TRAIN_BASELINE_STEPS_PER_S:
+            # per-EXPERIMENT throughput ratio: reference steps touch 1
+            # experiment (batch-1 SGD), ours touch `batch`
+            result["crnn_train_vs_torch_cpu"] = round(
+                tb["steps_per_s"] * tb["batch"] / TORCH_TRAIN_BASELINE_STEPS_PER_S, 1
+            )
+        result["detail"]["crnn_train"] = tb
+    except Exception as e:
+        sys.stderr.write(f"train bench failed: {type(e).__name__}: {e}\n")
     print(json.dumps(result))
 
 
