@@ -28,6 +28,10 @@ class PipelineConfig:
 
     # artifact locations
     out_root: str = "artifacts"
+    # explicit trajectory directory, e.g. the shared 4D_valid validation
+    # container where several mechanisms/modes live side by side (reference
+    # VALIDATION_DATASET_CONTAINER/4D_valid); None -> derived from out_root
+    dataset_dir_override: str | None = None
 
     # execution
     chunk_size: int = 16  # cases solved per jitted batch
@@ -56,6 +60,8 @@ class PipelineConfig:
 
     @property
     def dataset_dir(self) -> str:
+        if self.dataset_dir_override:
+            return self.dataset_dir_override
         tag = f"{self.dims}D_{'on' if self.energy_on else 'off'}"
         if self.wide:
             tag += "_wide"

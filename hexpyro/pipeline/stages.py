@@ -215,7 +215,11 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     # LU path and fresh per-segment Jacobians, trading ~10x per-case cost for
     # robustness on the handful of hard cases.
     rescue_thresh = float(os.environ.get("HEXPYRO_RESCUE_RESID", "300"))
-    bad = np.where(np.nan_to_num(case_resid) > rescue_thresh)[0]
+    # trigger on the convergence FLAG too, not only the residual magnitude:
+    # round-2's wide sweep left 109 stall-accepted cases (resid <= threshold
+    # but unconverged) whose coldest case measured 1.14e-2 rel-to-peak vs f64,
+    # above the 1% target (VALIDATION.md, VERDICT r2 weak #2)
+    bad = np.where((np.nan_to_num(case_resid) > rescue_thresh) | ~case_conv)[0]
     if len(bad) and cfg.rescue:
         if verbose:
             print(f"[simulate] rescuing {len(bad)} cases at f64 "
@@ -598,15 +602,28 @@ def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
                    time_mlp_dir_a: str, time_mlp_dir_b: str,
                    mech_a: str, mech_b: str,
                    temp_mlp_dirs=(None, None), fig_path: str | None = None,
-                   dataset_dirs=(None, None)):
+                   dataset_dirs=(None, None), geometry_txt: str | None = None,
+                   picker: str = "sweep"):
     """Two-model comparison figure on three representative conditions.
 
     Mirrors SURROGATE_MODEL/surrogate_model_{Eoff,Eon}_validation_plot.py:
-    pick conditions at the sorted-T quartile/median/near-max of the sweep
-    (:367-373), run both trained surrogates, and draw the 3x3 species grid
-    (solid vs dashed per model, color per condition). When dataset_dirs
-    provides per-mechanism truth directories, the Cantera reference is
-    scattered alongside both models (reference :308-318).
+    pick three conditions, run both trained surrogates, and draw the 3x3
+    species grid (solid vs dashed per model, color per condition). When
+    dataset_dirs provides per-mechanism truth directories, the Cantera
+    reference is scattered alongside both models (reference :308-318).
+
+    picker:
+      "sweep"            sorted-T quartile/median/near-max over all cases
+                         (the round-2 default, reference Eoff :367-373 applied
+                         to the sweep CSV);
+      "reference-valid"  the validation-container flow: Eoff picks from the
+                         80/10/10 test split seed 42 sorted by T
+                         (Eoff_validation_plot.py:569-573,367-373), Eon picks
+                         sorted-all indices 200/410/800
+                         (Eon_validation_plot.py:566-570; proportional
+                         fallback when fewer than 801 cases).
+    geometry_txt: per-case (L, u0) sidecar, the reference's
+      4D_valid/reactor_geometry.txt (:426); overrides the CSV geometry.
     """
     _jax_setup(cfg)
     import jax.numpy as jnp
@@ -616,8 +633,29 @@ def stage_validate(cfg: PipelineConfig, crnn_npz_a: str, crnn_npz_b: str,
     from ..surrogate.crnn import config_for
 
     cases = np.atleast_2d(lhs.read_cases_csv(cfg.cases_csv))
-    order = np.argsort(cases[:, 0])
-    pick = [order[len(order) // 4], order[len(order) // 2], order[-2]]
+    if geometry_txt is not None:
+        geom = np.loadtxt(geometry_txt)
+        cases = np.concatenate([cases[:, :2], np.atleast_2d(geom)[:, :2]], axis=1)
+    if picker == "reference-valid":
+        if cfg.energy_on:
+            order = np.argsort(cases[:, 0])
+            n = len(order)
+            pick = (
+                [order[200], order[410], order[800]]
+                if n >= 801
+                else [order[n // 4], order[n // 2], order[-2]]
+            )
+        else:
+            from sklearn.model_selection import train_test_split
+
+            _, tmp = train_test_split(np.arange(len(cases)), test_size=0.2,
+                                      random_state=42)
+            _, test_idx = train_test_split(tmp, test_size=0.5, random_state=42)
+            te = sorted(test_idx, key=lambda i: cases[i, 0])
+            pick = [te[len(te) // 4], te[len(te) // 2], te[-2]]
+    else:
+        order = np.argsort(cases[:, 0])
+        pick = [order[len(order) // 4], order[len(order) // 2], order[-2]]
     sel = cases[pick]
 
     def build(npz, tdir, mech_name, temp_dir):

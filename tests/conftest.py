@@ -19,8 +19,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the big PFR while/scan graphs take minutes to
-# compile even on CPU; repeat suite runs reuse them (same dir as bench/stages)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile")
+# compile even on CPU; repeat suite runs reuse them (same dir as bench/stages;
+# HEXPYRO_XLA_CACHE overrides, e.g. to measure cold-cache behavior)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("HEXPYRO_XLA_CACHE", "/root/.cache/jax_compile"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
