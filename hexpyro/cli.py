@@ -89,6 +89,17 @@ def main(argv=None) -> int:
             sp.add_argument("--time-mlp-dir-b", required=True)
             sp.add_argument("--mech-a", required=True)
             sp.add_argument("--mech-b", required=True)
+            sp.add_argument("--temp-mlp-dir-a")
+            sp.add_argument("--temp-mlp-dir-b")
+            sp.add_argument("--dataset-dir-a",
+                            help="truth trajectory dir for model A overlays")
+            sp.add_argument("--dataset-dir-b")
+            sp.add_argument("--geometry-txt", dest="geometry_txt",
+                            help="per-case (L, u0) sidecar, reference "
+                                 "4D_valid/reactor_geometry.txt flow")
+            sp.add_argument("--picker", choices=["sweep", "reference-valid"],
+                            default="sweep")
+            sp.add_argument("--fig-path", dest="fig_path")
 
     args = parser.parse_args(argv)
     cfg = _config_from_args(args)
@@ -121,6 +132,10 @@ def main(argv=None) -> int:
         stages.stage_validate(
             cfg, args.crnn_npz_a, args.crnn_npz_b,
             args.time_mlp_dir_a, args.time_mlp_dir_b, args.mech_a, args.mech_b,
+            temp_mlp_dirs=(args.temp_mlp_dir_a, args.temp_mlp_dir_b),
+            dataset_dirs=(args.dataset_dir_a, args.dataset_dir_b),
+            geometry_txt=args.geometry_txt, picker=args.picker,
+            fig_path=args.fig_path,
         )
     return 0
 
