@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Requalify the wide-range LLNL Eoff sweep to the 1% accuracy target.
+
+Round 2 left 109/800 wide cases with stall-accepted (unconverged) segments;
+the coldest case (T0=820.2 K) measured 1.14e-2 max rel-to-peak vs f64, above
+the 1%-of-reference target (VALIDATION.md, VERDICT r2 weak #2). The rescue
+pass now also triggers on the convergence flag (stages.py), so re-sweeping
+re-solves exactly those cases at f64.
+
+Steps (idempotent):
+  python scripts/wide_requalify.py sweep      # TPU: re-sweep with the rescue
+  python scripts/wide_requalify.py spotcheck  # f64 re-solve of the coldest
+                                              # case vs the dataset txt
+  python scripts/wide_requalify.py revalidate # wide CRNN losses on the
+                                              # corrected dataset
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from hexpyro.pipeline import artifacts, stages
+from hexpyro.pipeline.config import PipelineConfig
+from hexpyro.sampling import lhs
+
+ROOT = "runs/flagship_llnl_wide"
+BACKUP = f"{ROOT}/datasets/2D_off_wide_r2"
+
+
+def make_cfg():
+    return PipelineConfig(
+        mechanism="LLNL", wide=True, n_cases=800, out_root=ROOT,
+        dtype="f32", chunk_size=16, window=25,
+    )
+
+
+def main():
+    step = sys.argv[1] if len(sys.argv) > 1 else "all"
+    cfg = make_cfg()
+
+    if step in ("sweep", "all"):
+        # keep the round-2 dataset for diffing; re-sweep fresh so the
+        # per-case diagnostics + convergence-keyed rescue apply end to end
+        if os.path.exists(cfg.dataset_dir) and not os.path.exists(BACKUP):
+            shutil.move(cfg.dataset_dir, BACKUP)
+        stages.stage_simulate(cfg)
+        z = np.load(f"{cfg.dataset_dir}/solver_diagnostics.npz")
+        print(f"[wide-requalify] unconverged after rescue: "
+              f"{int(z['n_unconverged'])}, max resid "
+              f"{np.nanmax(z['case_max_resid']):.3g}")
+
+    if step in ("spotcheck", "all"):
+        import jax
+        import jax.numpy as jnp
+
+        from hexpyro.mechanism import load_mechanism, to_device_arrays
+        from hexpyro.reactors.cstr import default_steady_options
+        from hexpyro.reactors.pfr import simulate_pfr, tracked_indices
+
+        cases = lhs.read_cases_csv(cfg.cases_csv)[: cfg.n_cases]
+        worst = int(np.argmin(cases[:, 0]))  # coldest wide case
+        mech = load_mechanism(cfg.mech_path, name="LLNL")
+        arr64 = to_device_arrays(mech, dtype=jnp.float64)
+        tracked = tracked_indices(mech.species_names)
+        fn = jax.jit(
+            lambda T0, P0: simulate_pfr(
+                arr64, T0, P0, species_names=mech.species_names,
+                n_steps=cfg.n_steps, opts=default_steady_options(jnp.float64),
+            )
+        )
+        traj = fn(jnp.asarray([cases[worst, 0]], jnp.float64),
+                  jnp.asarray([cases[worst, 1] * 1e5], jnp.float64))
+        C64 = np.asarray(traj.concentrations(arr64))[0][:, tracked]  # (801, 9)
+        d = artifacts.read_trajectory_txt(os.path.join(
+            cfg.dataset_dir,
+            artifacts.trajectory_case_filename("LLNL", False, worst + 1)))
+        rel = np.abs(d["C"] - C64) / np.maximum(np.abs(C64).max(0), 1e-30)
+        print(f"[wide-requalify] coldest case {worst + 1} "
+              f"(T0={cases[worst, 0]:.1f} K): max rel-to-peak vs f64 = "
+              f"{rel.max():.3e} (target <= 1e-2)")
+
+    if step in ("revalidate", "all"):
+        from hexpyro.surrogate.crnn import config_for
+        from hexpyro.training import crnn_trainer as ct
+
+        ds = ct.load_crnn_dataset(stages._dataset_paths(cfg))
+        ccfg = config_for("LLNL", variant="wide")
+        tcfg = ct.CRNNTrainConfig(rtol=1e-4, atol=1e-6,
+                                  max_steps_per_interval=4)
+        npz = f"{ROOT}/crnn/training_history_LLNL_Eoff_wide.npz"
+        with np.load(npz, allow_pickle=True) as z:
+            p = np.asarray(z["updated_p"])
+        train_idx, valid_idx, _ = ct.make_splits(ds.tsteps.shape[0],
+                                                 tcfg.split_seed)
+        import jax.numpy as jnp
+
+        def loss(idx):
+            i = np.asarray(idx)
+            return float(ct.batch_loss(
+                jnp.asarray(p, jnp.float32), ccfg,
+                jnp.asarray(ds.tsteps[i], jnp.float32),
+                jnp.asarray(ds.Tlist[i], jnp.float32),
+                jnp.asarray(ds.u0[i], jnp.float32),
+                jnp.asarray(ds.ylabel[i], jnp.float32),
+                jnp.asarray(ds.yscale[i], jnp.float32), tcfg))
+
+        tr, va = loss(train_idx), loss(valid_idx)
+        print(f"[wide-requalify] wide CRNN on corrected dataset: "
+              f"train {tr:.6f} valid {va:.6f} "
+              f"(reference anchors 2.419e-3/2.337e-3)")
+
+
+if __name__ == "__main__":
+    main()
