@@ -36,6 +36,16 @@ class TestHelpers:
         assert np.isclose(float(c[0, deploy.HEXANE_SLOT]), expected, rtol=1e-4)
         assert float(jnp.count_nonzero(c)) == 1
 
+    def test_unique_conditions_roundtrip(self):
+        rng = np.random.default_rng(3)
+        uniq_rows = rng.uniform([870, 1e5], [1150, 3e5], (5, 2))
+        inv_true = rng.integers(0, 5, 17)
+        T0, P0 = uniq_rows[inv_true, 0], uniq_rows[inv_true, 1]
+        uniq, inv = deploy.unique_conditions(T0, P0)
+        assert uniq.shape[0] == 5
+        np.testing.assert_allclose(uniq[inv, 0], T0)
+        np.testing.assert_allclose(uniq[inv, 1], P0)
+
     def test_resample_nearest(self):
         t_ref = np.array([0.0, 1.0, 2.0, 3.0])
         y = np.array([[10.0, 11.0, 12.0, 13.0]])
