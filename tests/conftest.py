@@ -21,10 +21,23 @@ jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the big PFR while/scan graphs take minutes to
 # compile even on CPU; repeat suite runs reuse them (same dir as bench/stages;
 # HEXPYRO_XLA_CACHE overrides, e.g. to measure cold-cache behavior)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("HEXPYRO_XLA_CACHE", "/root/.cache/jax_compile"),
-)
+_CACHE_DIR = os.environ.get("HEXPYRO_XLA_CACHE", "/root/.cache/jax_compile")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+
+# seed the cache from the checked-in suite cache (tests/compile_cache, ~5 MB):
+# a fresh clone's first `pytest -q` paid ~40-60 min of XLA compiles for the
+# two e2e stage tests alone; with the seeded entries it runs warm (~3 min).
+# Entries are keyed by jax version/backend/options -- stale ones are ignored
+# and recompiled, so drift is harmless. Copy-if-missing keeps the repo clean.
+_SEED_DIR = os.path.join(os.path.dirname(__file__), "compile_cache")
+if os.path.isdir(_SEED_DIR):
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    import shutil
+
+    for _f in os.listdir(_SEED_DIR):
+        _dst = os.path.join(_CACHE_DIR, _f)
+        if not os.path.exists(_dst):
+            shutil.copy(os.path.join(_SEED_DIR, _f), _dst)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
