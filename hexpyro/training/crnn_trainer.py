@@ -115,6 +115,10 @@ class CRNNTrainConfig:
     # reference stops by wall-clock judgement at 141-300 epochs; a target lets
     # long flagship runs release the chip as soon as parity is reached)
     stop_at_train_loss: float | None = None
+    # when set alongside stop_at_train_loss, BOTH must be met before the early
+    # stop fires (the reference publishes train AND valid anchors; stopping on
+    # train alone can leave the valid anchor unbeaten)
+    stop_at_valid_loss: float | None = None
     # resume from save_path if it exists: full state (params + optimizer +
     # plateau) from the sidecar `<save_path>.state.npz` when present, else
     # params from `updated_p` with the plateau controller state recovered
@@ -358,6 +362,10 @@ def train_crnn(
         if (
             tcfg.stop_at_train_loss is not None
             and float(train_loss) <= tcfg.stop_at_train_loss
+            and (
+                tcfg.stop_at_valid_loss is None
+                or float(valid_loss) <= tcfg.stop_at_valid_loss
+            )
         ):
             if verbose:
                 print(f"early stop: train loss {float(train_loss):.6f} <= "

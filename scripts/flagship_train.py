@@ -46,6 +46,15 @@ TARGETS = {
 }
 ROOTS = {"JetSurf": "", "NUIGMech1.1": "_nuig", "LLNL": "_llnl"}
 
+# reference final valid losses to undercut (BASELINE.md); the early stop needs
+# BOTH anchors beaten, not just train
+VALID_TARGETS = {
+    ("JetSurf", False): 5.4e-3, ("JetSurf", True): 2.7e-3,
+    ("NUIGMech1.1", False): 6.1e-3, ("NUIGMech1.1", True): 1.60e-3,
+    ("LLNL", False): 2.10e-3, ("LLNL", True): 1.09e-3,
+    ("LLNL", "wide"): 2.30e-3,  # reference wide valid: 2.337e-3
+}
+
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "eoff"
@@ -85,6 +94,7 @@ def main():
             batch_size=int(os.environ.get("HEXPYRO_FLAGSHIP_BATCH", "8")),
             max_steps_per_interval=4,
             save_path=save, save_every=10, stop_at_train_loss=target,
+            stop_at_valid_loss=VALID_TARGETS[(mech, "wide")],
         )
     else:
         # LLNL's 2.25e-3 target is ~2.5x deeper than JetSurf/NUIG's and needs
@@ -101,6 +111,7 @@ def main():
             save_path=save,
             save_every=10,
             stop_at_train_loss=target,
+            stop_at_valid_loss=VALID_TARGETS[(mech, energy_on)],
         )
     # resume (params + optimizer + lr state, history append) is handled inside
     # train_crnn via tcfg.resume whenever `save` already exists

@@ -45,7 +45,7 @@ save = f"{ROOT}/crnn/training_history_LLNL_Eon.npz"
 tcfg = ct.CRNNTrainConfig(
     epochs=600, batch_size=8, learning_rate=2.4e-2, plateau_patience=8,
     max_steps_per_interval=2, save_path=save, save_every=10,
-    stop_at_train_loss=1.19e-3,
+    stop_at_train_loss=1.19e-3, stop_at_valid_loss=1.09e-3,
 )
 p, hist = ct.train_crnn(init_parameters(0, ccfg), ds, ccfg, tcfg)
 test = ct.test_crnn(p, ds, ccfg, tcfg)

@@ -206,6 +206,47 @@ class TestTrainers:
             CRNNTrainConfig(epochs=2, resume=False, **base), verbose=False)
         assert len(hist2["train_loss"]) == 2
 
+    def test_crnn_trainer_early_stop_valid_gate(self):
+        """stop_at_valid_loss gates the early stop: train target alone is not
+        enough when a valid target is also set."""
+        from hexpyro.surrogate.crnn import config_for, init_parameters
+        from hexpyro.training.crnn_trainer import (
+            CRNNDataset,
+            CRNNTrainConfig,
+            train_crnn,
+        )
+
+        cfg = config_for("LLNL")
+        n_exp, ntotal = 8, 11
+        rng = np.random.default_rng(5)
+        tsteps = np.linspace(0.0, 0.2, ntotal)[None, :].repeat(n_exp, 0)
+        Tlist = rng.uniform(950, 1100, n_exp)[:, None].repeat(ntotal, 1)
+        ylabel = rng.uniform(0.1, 20.0, (n_exp, 9, ntotal))
+        ds = CRNNDataset(
+            tsteps=tsteps, ylabel=ylabel, Tlist=Tlist,
+            Plist=np.full_like(Tlist, 2e5), u0=ylabel[:, :, 0],
+            yscale=np.clip(ylabel.max(2) - ylabel.min(2), 1e-6, None),
+        )
+        base = dict(batch_size=4, learning_rate=2e-3)
+        # train target trivially met, valid target unreachable -> no early stop
+        _, hist = train_crnn(
+            init_parameters(1, cfg), ds, cfg,
+            CRNNTrainConfig(epochs=3, stop_at_train_loss=1e9,
+                            stop_at_valid_loss=1e-12, **base), verbose=False)
+        assert len(hist["train_loss"]) == 3
+        # both targets trivially met -> stops after the first epoch
+        _, hist = train_crnn(
+            init_parameters(1, cfg), ds, cfg,
+            CRNNTrainConfig(epochs=3, stop_at_train_loss=1e9,
+                            stop_at_valid_loss=1e9, **base), verbose=False)
+        assert len(hist["train_loss"]) == 1
+        # no valid target (back-compat): train target alone stops
+        _, hist = train_crnn(
+            init_parameters(1, cfg), ds, cfg,
+            CRNNTrainConfig(epochs=3, stop_at_train_loss=1e9, **base),
+            verbose=False)
+        assert len(hist["train_loss"]) == 1
+
     def test_crnn_trainer_resume_params_only(self, tmp_path):
         """A history npz without a sidecar resumes params + replayed plateau."""
         from hexpyro.surrogate.crnn import config_for, init_parameters
