@@ -125,6 +125,11 @@ class CRNNTrainConfig:
     # exactly by replaying the recorded validation losses. History appends
     # instead of restarting, so the npz keeps the complete loss curve.
     resume: bool = True
+    # on resume, override the replayed plateau LR scale with this value (the
+    # effective lr becomes learning_rate * resume_lr_scale). Use to restart a
+    # run whose plateau cascade collapsed the LR (e.g. after the training data
+    # or substituted profiles changed, which resets the loss surface).
+    resume_lr_scale: float | None = None
     # data-parallel training over the device mesh: shard the per-step batch
     # axis across jax.devices() (parameters/optimizer replicated, XLA inserts
     # the gradient psum). Engages automatically when more than one device is
@@ -288,6 +293,12 @@ def train_crnn(
         p, r_opt_state, plateau, history, start_epoch = resumed
         if r_opt_state is not None:
             opt_state = r_opt_state
+        if tcfg.resume_lr_scale is not None:
+            plateau = plateau._replace(
+                scale=jnp.asarray(tcfg.resume_lr_scale, jnp.float32),
+                best=jnp.asarray(np.inf, jnp.float32),
+                num_bad=jnp.zeros((), jnp.int32),
+            )
         if verbose:
             kind = "full-state" if r_opt_state is not None else "params+plateau"
             print(

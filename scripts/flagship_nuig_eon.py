@@ -12,6 +12,7 @@ Stages (each skipped if its artifacts exist):
    packaging via scripts/flagship_finish.py eon NUIGMech1.1)
 """
 
+import dataclasses
 import os
 import shutil
 import sys
@@ -51,7 +52,12 @@ def main():
                         icfg.cases_csv)
         stages.stage_simulate(icfg)
     if step in ("mlp", "all"):
-        stages.stage_train_profile_mlp(cfg, "temp")
+        # temp-MLP: 600 epochs instead of the reference's 20 — the Eon CRNN
+        # trains against the SUBSTITUTED MLP profiles, so temp-MLP error is an
+        # irreducible CRNN loss floor (measured on LLNL: 1.4e-4 of valid loss
+        # at 20 epochs; scripts/improve_temp_mlp.py)
+        stages.stage_train_profile_mlp(
+            dataclasses.replace(cfg, epochs=600), "temp")
         stages.stage_train_profile_mlp(cfg, "time")
 
 

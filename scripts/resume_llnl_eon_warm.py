@@ -40,10 +40,15 @@ ds = ct.substitute_temp_profiles(ds, params, lo, hi)
 ccfg = config_for("LLNL", energy_on=True)
 save = f"{ROOT}/crnn/training_history_LLNL_Eon.npz"
 
-# replayed plateau scale after 170 epochs at patience 8 is ~0.0101
-# (observed lr 5.04e-5 at base 5e-3); base 2.4e-2 restores lr ~2.4e-4
+# phase 2 (epoch ~220): temp_mlp swapped to the 600-epoch v2 MLP (mean |dT|
+# 0.151 K vs 0.623 K; scripts/improve_temp_mlp.py), which moves the epoch-220
+# checkpoint to train 1.291e-3 / valid 1.302e-3 on the new surface. The
+# plateau cascade had collapsed the LR to 1.9e-5; resume_lr_scale restores the
+# effective LR to 2e-4 (the best observed descent regime) and resets the
+# plateau best so the controller re-adapts to the new surface.
 tcfg = ct.CRNNTrainConfig(
-    epochs=600, batch_size=8, learning_rate=2.4e-2, plateau_patience=8,
+    epochs=600, batch_size=8, learning_rate=5e-3, plateau_patience=10,
+    resume_lr_scale=0.04,
     max_steps_per_interval=2, save_path=save, save_every=10,
     stop_at_train_loss=1.19e-3, stop_at_valid_loss=1.09e-3,
 )

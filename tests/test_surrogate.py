@@ -247,6 +247,46 @@ class TestTrainers:
             verbose=False)
         assert len(hist["train_loss"]) == 1
 
+    def test_crnn_trainer_resume_lr_scale_override(self, tmp_path):
+        """resume_lr_scale replaces the replayed plateau scale on resume."""
+        from hexpyro.surrogate.crnn import config_for, init_parameters
+        from hexpyro.training.crnn_trainer import (
+            CRNNDataset,
+            CRNNTrainConfig,
+            train_crnn,
+        )
+
+        cfg = config_for("LLNL")
+        n_exp, ntotal = 8, 11
+        rng = np.random.default_rng(6)
+        tsteps = np.linspace(0.0, 0.2, ntotal)[None, :].repeat(n_exp, 0)
+        Tlist = rng.uniform(950, 1100, n_exp)[:, None].repeat(ntotal, 1)
+        ylabel = rng.uniform(0.1, 20.0, (n_exp, 9, ntotal))
+        ds = CRNNDataset(
+            tsteps=tsteps, ylabel=ylabel, Tlist=Tlist,
+            Plist=np.full_like(Tlist, 2e5), u0=ylabel[:, :, 0],
+            yscale=np.clip(ylabel.max(2) - ylabel.min(2), 1e-6, None),
+        )
+        save = str(tmp_path / "hist.npz")
+        # phase 1: collapse the plateau scale (patience 0, huge threshold)
+        base = dict(batch_size=4, learning_rate=2e-3, save_path=save,
+                    save_every=1, plateau_patience=0, plateau_threshold=0.5)
+        train_crnn(init_parameters(1, cfg), ds, cfg,
+                   CRNNTrainConfig(epochs=3, **base), verbose=False)
+        # phase 2 resumes with the scale overridden to 0.25 -> first epoch
+        # must report lr = learning_rate * 0.25, not the collapsed replay
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            train_crnn(init_parameters(9, cfg), ds, cfg,
+                       CRNNTrainConfig(epochs=4, resume_lr_scale=0.25, **base),
+                       verbose=True)
+        out = buf.getvalue()
+        assert "lr scale 0.25" in out
+        assert "epoch 4/4" in out and "lr 5.00e-04" in out
+
     def test_crnn_trainer_resume_params_only(self, tmp_path):
         """A history npz without a sidecar resumes params + replayed plateau."""
         from hexpyro.surrogate.crnn import config_for, init_parameters
