@@ -29,7 +29,7 @@ INDEP = "runs/independent_nuig_eon"
 def make_cfg(out_root=ROOT, n_cases=800, seed=2024):
     return PipelineConfig(
         mechanism="NUIGMech1.1", energy_on=True, n_cases=n_cases, seed=seed,
-        out_root=out_root, dtype="f32", chunk_size=16, window=25,
+        out_root=out_root, dtype="f32", chunk_size=int(os.environ.get("HEXPYRO_SWEEP_CHUNK", "16")), window=25,
     )
 
 

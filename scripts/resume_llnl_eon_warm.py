@@ -46,9 +46,14 @@ save = f"{ROOT}/crnn/training_history_LLNL_Eon.npz"
 # plateau cascade had collapsed the LR to 1.9e-5; resume_lr_scale restores the
 # effective LR to 2e-4 (the best observed descent regime) and resets the
 # plateau best so the controller re-adapts to the new surface.
+# phase 3 (epoch ~290): batch 8 + warm LR flattened at train ~1.26e-3. LLNL
+# Eoff needed batch-2 SGD noise to reach its (similarly deep) target after
+# batch 8 plateaued (scripts/flagship_train.py); apply the same remedy here:
+# batch 4 doubles the steps/epoch and halves the gradient-noise averaging,
+# with the warm LR restored once more.
 tcfg = ct.CRNNTrainConfig(
-    epochs=600, batch_size=8, learning_rate=5e-3, plateau_patience=10,
-    resume_lr_scale=0.04,
+    epochs=600, batch_size=4, learning_rate=5e-3, plateau_patience=10,
+    resume_lr_scale=0.048,
     max_steps_per_interval=2, save_path=save, save_every=10,
     stop_at_train_loss=1.19e-3, stop_at_valid_loss=1.09e-3,
 )

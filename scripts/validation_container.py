@@ -61,7 +61,7 @@ def container_cfg(mech, energy_on):
     return PipelineConfig(
         mechanism=mech, energy_on=energy_on, dims=4, n_cases=N_VALID,
         seed=VALID_SEED, out_root=ROOT, dataset_dir_override=CONTAINER,
-        dtype="f32", chunk_size=16, window=25,
+        dtype="f32", chunk_size=int(os.environ.get("HEXPYRO_SWEEP_CHUNK", "16")), window=25,
     )
 
 
@@ -73,7 +73,7 @@ def mlp4d_root(mech, energy_on):
 def mlp4d_cfg(mech, energy_on):
     return PipelineConfig(
         mechanism=mech, energy_on=energy_on, dims=4, n_cases=400, seed=13895,
-        out_root=mlp4d_root(mech, energy_on), dtype="f32", chunk_size=16,
+        out_root=mlp4d_root(mech, energy_on), dtype="f32", chunk_size=int(os.environ.get("HEXPYRO_SWEEP_CHUNK", "16")),
         window=100,
     )
 

@@ -34,7 +34,7 @@ BACKUP = f"{ROOT}/datasets/2D_off_wide_r2"
 def make_cfg():
     return PipelineConfig(
         mechanism="LLNL", wide=True, n_cases=800, out_root=ROOT,
-        dtype="f32", chunk_size=16, window=25,
+        dtype="f32", chunk_size=int(os.environ.get("HEXPYRO_SWEEP_CHUNK", "16")), window=25,
     )
 
 
