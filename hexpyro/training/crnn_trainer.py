@@ -414,6 +414,142 @@ def _save(path, history, p, opt_state=None, final=False):
         )
 
 
+def polish_crnn(
+    p0: np.ndarray,
+    ds: CRNNDataset,
+    cfg: CRNNConfig,
+    tcfg: CRNNTrainConfig,
+    *,
+    maxiter: int = 150,
+    eval_chunk: int = 80,
+    stop_train: float | None = None,
+    stop_valid: float | None = None,
+    save_path: str | None = None,
+    verbose: bool = True,
+):
+    """Full-batch L-BFGS polish of a converged AdamW run.
+
+    The CRNN has only nr*(3+2*ns) = 189 parameters against ~3.6M residuals
+    (640 cases x 7 species x 801 points), so once plateau-SGD stalls at the
+    basin bottom the right tool is a quasi-Newton step on the FULL train
+    loss: one jitted value_and_grad per iteration (the whole train split
+    vmapped through dopri5 on device, lax.map over `eval_chunk`-case blocks
+    to bound activation memory), with scipy's L-BFGS-B driving the 189-dim
+    update on the host. The reference has no equivalent (it stops when AdamW
+    stops, Eoff_surrogate_model_training.py:416-451); this is a capability
+    on top of reference parity, used to finish the deepest Eon anchors.
+
+    Tracks the best (train+valid) iterate and never returns a point worse
+    than the input. If save_path is given, appends ONE history entry (the
+    chosen iterate, losses computed with the standard definitions) so
+    downstream consumers keep reading `parameters[-1]`.
+
+    Returns (p_best, train_loss, valid_loss, info).
+    """
+    from scipy.optimize import minimize
+
+    dt = jnp.float32 if tcfg.dtype == "f32" else jnp.float64
+    train_idx, valid_idx, _ = make_splits(ds.tsteps.shape[0], tcfg.split_seed)
+    n_keep = (len(train_idx) // eval_chunk) * eval_chunk
+    if n_keep < len(train_idx) and verbose:
+        print(f"polish: evaluating {n_keep}/{len(train_idx)} train cases "
+              f"(multiple of eval_chunk={eval_chunk})")
+    tidx = np.asarray(train_idx)[:n_keep].reshape(-1, eval_chunk)
+
+    def gather(idx):
+        return tuple(
+            jnp.asarray(getattr(ds, k)[idx], dt)
+            for k in ("tsteps", "Tlist", "u0", "ylabel", "yscale")
+        )
+
+    train_blocks = gather(tidx)  # leading axes (n_blocks, eval_chunk, ...)
+    valid_batch = gather(np.asarray(valid_idx))
+
+    @jax.jit
+    def train_value_and_grad(p):
+        def full_loss(p):
+            losses = jax.lax.map(
+                lambda b: batch_loss(p, cfg, *b, tcfg), train_blocks
+            )
+            return jnp.mean(losses)
+
+        return jax.value_and_grad(full_loss)(p)
+
+    @jax.jit
+    def valid_loss_fn(p):
+        return batch_loss(p, cfg, *valid_batch, tcfg)
+
+    state = {"evals": 0, "last_x": None, "last_f": None}
+
+    def fun(x):
+        f, g = train_value_and_grad(jnp.asarray(x, dt))
+        state["evals"] += 1
+        state["last_x"] = np.asarray(x)
+        state["last_f"] = float(f)
+        return float(f), np.asarray(g, np.float64)
+
+    x0 = np.asarray(p0, np.float64)
+    f0, _ = fun(x0)
+    v0 = float(valid_loss_fn(jnp.asarray(x0, dt)))
+    best = {"x": x0, "train": f0, "valid": v0}
+    if verbose:
+        print(f"polish start: train {f0:.6e} valid {v0:.6e}")
+
+    class _Done(Exception):
+        pass
+
+    def callback(xk):
+        # L-BFGS-B's accepted iterate is its most recent objective evaluation,
+        # so reuse that value instead of re-running the full-batch solve
+        if state["last_x"] is not None and np.array_equal(xk, state["last_x"]):
+            f = state["last_f"]
+        else:
+            f = float(train_value_and_grad(jnp.asarray(xk, dt))[0])
+        v = float(valid_loss_fn(jnp.asarray(xk, dt)))
+        if f + v < best["train"] + best["valid"]:
+            best.update(x=np.asarray(xk), train=f, valid=v)
+        if verbose:
+            print(f"polish iter: train {f:.6e} valid {v:.6e}", flush=True)
+        if (
+            stop_train is not None and f <= stop_train
+            and (stop_valid is None or v <= stop_valid)
+        ):
+            best.update(x=np.asarray(xk), train=f, valid=v)
+            raise _Done
+
+    result_status = "maxiter"
+    try:
+        res = minimize(
+            fun, x0, jac=True, method="L-BFGS-B", callback=callback,
+            options={"maxiter": maxiter, "maxcor": 30, "ftol": 1e-14,
+                     "gtol": 1e-12},
+        )
+        result_status = str(res.message)
+    except _Done:
+        result_status = "target reached"
+
+    p_best = jnp.asarray(best["x"], dt)
+    if save_path is not None:
+        history = (
+            _load_history(save_path)
+            if os.path.exists(save_path)
+            else {"train_loss": [], "valid_loss": [], "parameters": []}
+        )
+        w_in, w_b, w_out = parameter_converter(p_best, cfg)
+        history["train_loss"].append(best["train"])
+        history["valid_loss"].append(best["valid"])
+        history["parameters"].append(
+            {"w_in": np.asarray(w_in), "w_b": np.asarray(w_b),
+             "w_out": np.asarray(w_out)}
+        )
+        _save(save_path, history, p_best, final=True)
+    info = {"status": result_status, "n_evals": state["evals"]}
+    if verbose:
+        print(f"polish done ({result_status}, {state['evals']} evals): "
+              f"train {best['train']:.6e} valid {best['valid']:.6e}")
+    return np.asarray(p_best), best["train"], best["valid"], info
+
+
 def test_crnn(p, ds: CRNNDataset, cfg: CRNNConfig, tcfg: CRNNTrainConfig):
     """Loss on the held-out test split (reference Trainer.test :492-510)."""
     _, _, test_idx = make_splits(ds.tsteps.shape[0], tcfg.split_seed)
