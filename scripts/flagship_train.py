@@ -116,8 +116,18 @@ def main():
     # resume (params + optimizer + lr state, history append) is handled inside
     # train_crnn via tcfg.resume whenever `save` already exists
     p, hist = ct.train_crnn(init_parameters(0, ccfg), ds, ccfg, tcfg)
+    tr, va = hist["train_loss"][-1], hist["valid_loss"][-1]
+    # full-batch L-BFGS finish if plateau-AdamW stopped short of the anchors
+    vt = VALID_TARGETS[(mech, "wide" if wide else energy_on)]
+    if not (tr <= target and va <= vt):
+        p, tr, va, info = ct.polish_crnn(
+            np.asarray(p), ds, ccfg, tcfg, maxiter=250, eval_chunk=80,
+            stop_train=target, stop_valid=vt, save_path=save,
+        )
+        print(f"POLISH train {tr:.6e} valid {va:.6e} ({info['status']})",
+              flush=True)
     test = ct.test_crnn(p, ds, ccfg, tcfg)
-    print(f"FINAL train {hist['train_loss'][-1]:.6f} valid {hist['valid_loss'][-1]:.6f} "
+    print(f"FINAL train {tr:.6f} valid {va:.6f} "
           f"test {test:.6f} epochs {len(hist['train_loss'])}")
 
 
