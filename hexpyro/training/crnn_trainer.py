@@ -414,6 +414,38 @@ def _save(path, history, p, opt_state=None, final=False):
         )
 
 
+def adam_param_scale(state_path: str, clip_range: float = 1e3) -> np.ndarray | None:
+    """Per-parameter scale 1/(sqrt(nu)+eps) from a checkpoint sidecar.
+
+    The sidecar stores the AdamW optimizer leaves (`_save`); nu (the second
+    moment EMA) is the (n_params,) leaf with the smallest magnitude that is
+    everywhere >= 0 and not integral -- in the optax chain
+    (clip_by_global_norm, inject_hyperparams(adamw)) the float leaves of
+    param shape are exactly [mu, nu]. Returns the scale normalized to
+    median 1 and clipped to [1/clip_range, clip_range] so dead parameters
+    (nu ~ 0) cannot explode the preconditioner; None if no usable sidecar.
+    """
+    if not os.path.exists(state_path):
+        return None
+    with np.load(state_path) as z:
+        p_shape = z["p"].shape
+        cands = [
+            np.asarray(z[k])
+            for k in z.files
+            if k.startswith("opt_") and z[k].shape == p_shape
+            and np.issubdtype(z[k].dtype, np.floating)
+        ]
+    # [mu, nu]: nu is the one that is everywhere non-negative; with ties
+    # (mu also >= 0), nu is the second in optax's adamw leaf order
+    nonneg = [c for c in cands if (c >= 0).all()]
+    if not nonneg:
+        return None
+    nu = nonneg[-1]
+    s = 1.0 / (np.sqrt(np.maximum(nu, 0.0)) + 1e-12)
+    s = s / np.median(s)
+    return np.clip(s, 1.0 / clip_range, clip_range)
+
+
 def polish_crnn(
     p0: np.ndarray,
     ds: CRNNDataset,
@@ -425,6 +457,7 @@ def polish_crnn(
     stop_train: float | None = None,
     stop_valid: float | None = None,
     save_path: str | None = None,
+    param_scale: np.ndarray | None = None,
     verbose: bool = True,
 ):
     """Full-batch L-BFGS polish of a converged AdamW run.
@@ -443,6 +476,14 @@ def polish_crnn(
     than the input. If save_path is given, appends ONE history entry (the
     chosen iterate, losses computed with the standard definitions) so
     downstream consumers keep reading `parameters[-1]`.
+
+    `param_scale` is a per-parameter diagonal preconditioner: the optimizer
+    works in z = p / param_scale. The raw parameterization's gradient scales
+    span orders of magnitude (clamped slopes vs w_out entries), which AdamW
+    normalizes away but leaves L-BFGS's first line searches with steps too
+    small to change f at f32 granularity (observed: instant "converged" with
+    zero descent). The natural scale is Adam's own metric, 1/(sqrt(nu)+eps)
+    from the checkpoint sidecar -- see `adam_param_scale`.
 
     Returns (p_best, train_loss, valid_loss, info).
     """
@@ -479,42 +520,48 @@ def polish_crnn(
     def valid_loss_fn(p):
         return batch_loss(p, cfg, *valid_batch, tcfg)
 
+    scale = (
+        np.ones(np.asarray(p0).shape, np.float64)
+        if param_scale is None
+        else np.asarray(param_scale, np.float64)
+    )
     state = {"evals": 0, "last_x": None, "last_f": None}
 
-    def fun(x):
-        f, g = train_value_and_grad(jnp.asarray(x, dt))
+    def fun(z):
+        f, g = train_value_and_grad(jnp.asarray(z * scale, dt))
         state["evals"] += 1
-        state["last_x"] = np.asarray(x)
+        state["last_x"] = np.asarray(z)
         state["last_f"] = float(f)
-        return float(f), np.asarray(g, np.float64)
+        return float(f), np.asarray(g, np.float64) * scale
 
-    x0 = np.asarray(p0, np.float64)
+    x0 = np.asarray(p0, np.float64) / scale
     f0, _ = fun(x0)
-    v0 = float(valid_loss_fn(jnp.asarray(x0, dt)))
-    best = {"x": x0, "train": f0, "valid": v0}
+    v0 = float(valid_loss_fn(jnp.asarray(np.asarray(p0), dt)))
+    best = {"x": np.asarray(p0, np.float64), "train": f0, "valid": v0}
     if verbose:
         print(f"polish start: train {f0:.6e} valid {v0:.6e}")
 
     class _Done(Exception):
         pass
 
-    def callback(xk):
+    def callback(zk):
+        pk = np.asarray(zk) * scale
         # L-BFGS-B's accepted iterate is its most recent objective evaluation,
         # so reuse that value instead of re-running the full-batch solve
-        if state["last_x"] is not None and np.array_equal(xk, state["last_x"]):
+        if state["last_x"] is not None and np.array_equal(zk, state["last_x"]):
             f = state["last_f"]
         else:
-            f = float(train_value_and_grad(jnp.asarray(xk, dt))[0])
-        v = float(valid_loss_fn(jnp.asarray(xk, dt)))
+            f = float(train_value_and_grad(jnp.asarray(pk, dt))[0])
+        v = float(valid_loss_fn(jnp.asarray(pk, dt)))
         if f + v < best["train"] + best["valid"]:
-            best.update(x=np.asarray(xk), train=f, valid=v)
+            best.update(x=pk, train=f, valid=v)
         if verbose:
             print(f"polish iter: train {f:.6e} valid {v:.6e}", flush=True)
         if (
             stop_train is not None and f <= stop_train
             and (stop_valid is None or v <= stop_valid)
         ):
-            best.update(x=np.asarray(xk), train=f, valid=v)
+            best.update(x=pk, train=f, valid=v)
             raise _Done
 
     result_status = "maxiter"

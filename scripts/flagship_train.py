@@ -123,6 +123,7 @@ def main():
         p, tr, va, info = ct.polish_crnn(
             np.asarray(p), ds, ccfg, tcfg, maxiter=250, eval_chunk=80,
             stop_train=target, stop_valid=vt, save_path=save,
+            param_scale=ct.adam_param_scale(save + ".state.npz"),
         )
         print(f"POLISH train {tr:.6e} valid {va:.6e} ({info['status']})",
               flush=True)

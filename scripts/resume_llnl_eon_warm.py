@@ -57,9 +57,11 @@ import numpy as np  # noqa: E402
 
 with np.load(save + ".state.npz") as z:
     p0 = np.asarray(z["p"])
+scale = ct.adam_param_scale(save + ".state.npz")
 p, tr, va, info = ct.polish_crnn(
     p0, ds, ccfg, tcfg, maxiter=250, eval_chunk=80,
     stop_train=TRAIN_TARGET, stop_valid=VALID_TARGET, save_path=save,
+    param_scale=scale,
 )
 print(f"POLISH train {tr:.6e} valid {va:.6e} ({info['status']})", flush=True)
 

@@ -72,6 +72,27 @@ def test_polish_descends_and_saves(tmp_path):
     assert w_in.shape == (11, 9) and w_out.shape == (9, 9)
 
 
+def test_adam_param_scale_from_sidecar(tmp_path):
+    from hexpyro.training.crnn_trainer import adam_param_scale, train_crnn
+
+    cfg, ds = _synthetic_dataset()
+    save = str(tmp_path / "h.npz")
+    tcfg = CRNNTrainConfig(epochs=1, batch_size=8, max_steps_per_interval=2,
+                           save_path=save, save_every=1)
+    train_crnn(init_parameters(0, cfg), ds, cfg, tcfg, verbose=False)
+    s = adam_param_scale(save + ".state.npz")
+    assert s is not None and s.shape == (189,)
+    assert (s > 0).all() and np.isfinite(s).all()
+    assert abs(np.median(s) - 1.0) < 1e-6  # normalized to median 1
+    # preconditioned polish still descends
+    p, tr, va, info = polish_crnn(
+        init_parameters(4, cfg), ds, cfg,
+        CRNNTrainConfig(max_steps_per_interval=4),
+        maxiter=4, eval_chunk=8, param_scale=s, verbose=False,
+    )
+    assert np.isfinite(tr) and np.isfinite(va)
+
+
 def test_polish_early_stop_on_targets(tmp_path):
     cfg, ds = _synthetic_dataset()
     tcfg = CRNNTrainConfig(max_steps_per_interval=4)
