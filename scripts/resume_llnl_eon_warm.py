@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Warm-restart the LLNL Eon CRNN out of a plateau-LR collapse.
+"""Finish the LLNL Eon CRNN to below the reference anchors.
 
-By epoch 170 the plateau cascade had decayed the LR to 5e-5 (scale ~0.010)
-and descent flattened at train ~1.42e-3 (target: beat the reference's
-1.208e-3, BASELINE.md). Classic remedy: finish with a LARGER batch instead of
-an ever-smaller LR (lower gradient noise at equal step size). This resume
-keeps the full optimizer state + history and switches to batch 8 with the
-effective LR restored to ~2.4e-4 (the regime with the best recent descent
-rate) by scaling the base LR against the replayed plateau factor.
+Reference (BASELINE.md): train 1.208e-3 / valid 1.100e-3 (242 epochs).
+
+History of this run (see VALIDATION.md "Eon CRNN loss floor"):
+- epochs 1-170: batch-2 AdamW to train ~1.42e-3 (plateau LR collapse)
+- epoch ~220: temp-MLP v2 swap (600-epoch MLP, mean |dT| 0.62 -> 0.15 K)
+- epochs 220-400: warm-restarted batch-8 AdamW to 1.246e-3/1.238e-3
+- round 3: preconditioned full-batch L-BFGS polish (adam_param_scale) drops
+  to 1.179e-3/1.156e-3 in ~75 evals -- train anchor beaten -- then stalls at
+  f32 loss granularity.
+
+This script continues with explore/polish cycles from the best saved point:
+short batch-4 AdamW bursts (SGD noise hops out of the flat f32 basin) each
+followed by a preconditioned polish, escalating to an f64-evaluated polish
+(the f32 stall is evaluation granularity, not the true basin bottom). Every
+improvement is appended to the npz history, so `parameters[-1]` / losses[-1]
+only ever get better; stops the moment both anchors are beaten.
 """
 
 import os
@@ -20,18 +29,23 @@ import jax
 if os.environ.get("HEXPYRO_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["HEXPYRO_PLATFORM"])
 jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_enable_x64", True)  # f64 escalation path; f32 arrays stay f32
 cache = "/root/.cache/jax_compile"
 os.makedirs(cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
+import numpy as np
+
 from hexpyro.pipeline import artifacts
 from hexpyro.pipeline.config import PipelineConfig
 from hexpyro.pipeline.stages import _dataset_paths
-from hexpyro.surrogate.crnn import config_for, init_parameters
+from hexpyro.surrogate.crnn import config_for
 from hexpyro.training import crnn_trainer as ct
 
 ROOT = "runs/flagship_llnl_eon"
+TRAIN_TARGET, VALID_TARGET = 1.19e-3, 1.09e-3
+
 cfg = PipelineConfig(mechanism="LLNL", n_cases=800, out_root=ROOT, energy_on=True)
 ds = ct.load_crnn_dataset(_dataset_paths(cfg))
 params = artifacts.load_mlp_params_npz(f"{ROOT}/temp_mlp/weights_LLNL_2D.npz")
@@ -39,48 +53,87 @@ lo, hi = artifacts.load_minmax_scaler(f"{ROOT}/temp_mlp/min_max_LLNL_2D.pkl")
 ds = ct.substitute_temp_profiles(ds, params, lo, hi)
 ccfg = config_for("LLNL", energy_on=True)
 save = f"{ROOT}/crnn/training_history_LLNL_Eon.npz"
+sidecar = save + ".state.npz"
 
-# phase 2 (epoch ~220): temp_mlp swapped to the 600-epoch v2 MLP (mean |dT|
-# 0.151 K vs 0.623 K; scripts/improve_temp_mlp.py), which moves the epoch-220
-# checkpoint to train 1.291e-3 / valid 1.302e-3 on the new surface. The
-# plateau cascade had collapsed the LR to 1.9e-5; resume_lr_scale restores the
-# effective LR to 2e-4 (the best observed descent regime) and resets the
-# plateau best so the controller re-adapts to the new surface.
-# phase 4 (epoch ~400): AdamW flattened at train 1.246e-3 / valid 1.238e-3
-# with the plateau LR collapsed to 9e-8. The right tool at the basin bottom
-# is full-batch quasi-Newton: polish_crnn runs L-BFGS on the complete train
-# split (one jitted 640-case value_and_grad per iteration on the chip),
-# stopping as soon as both reference anchors are beaten.
-TRAIN_TARGET, VALID_TARGET = 1.19e-3, 1.09e-3
-tcfg = ct.CRNNTrainConfig(max_steps_per_interval=2, save_path=save)
-import numpy as np  # noqa: E402
+hist = ct._load_history(save)
+best_tr, best_va = hist["train_loss"][-1], hist["valid_loss"][-1]
+with np.load(sidecar) as z:
+    p = np.asarray(z["p"])
+scale = ct.adam_param_scale(sidecar)
+print(f"finisher start: train {best_tr:.6e} valid {best_va:.6e}", flush=True)
 
-with np.load(save + ".state.npz") as z:
-    p0 = np.asarray(z["p"])
-scale = ct.adam_param_scale(save + ".state.npz")
-p, tr, va, info = ct.polish_crnn(
-    p0, ds, ccfg, tcfg, maxiter=250, eval_chunk=80,
-    stop_train=TRAIN_TARGET, stop_valid=VALID_TARGET, save_path=save,
-    param_scale=scale,
-)
-print(f"POLISH train {tr:.6e} valid {va:.6e} ({info['status']})", flush=True)
 
-if not (tr <= TRAIN_TARGET and va <= VALID_TARGET):
-    # fall back to SGD exploration from the polished point: batch 4 (2x the
-    # steps/epoch of the stalled batch-8 phase) with the warm LR restored
-    tcfg = ct.CRNNTrainConfig(
-        epochs=600, batch_size=4, learning_rate=5e-3, plateau_patience=10,
-        resume_lr_scale=0.048,
-        max_steps_per_interval=2, save_path=save, save_every=10,
-        stop_at_train_loss=TRAIN_TARGET, stop_at_valid_loss=VALID_TARGET,
+def done(tr, va):
+    return tr <= TRAIN_TARGET and va <= VALID_TARGET
+
+
+tcfg_eval = ct.CRNNTrainConfig(max_steps_per_interval=2)
+for cycle in range(6):
+    if done(best_tr, best_va):
+        break
+    # 1. explore: short batch-4 AdamW burst at warm LR (no saving; the burst
+    #    may transiently regress while it hops)
+    burst = ct.CRNNTrainConfig(
+        epochs=12, batch_size=4, learning_rate=2.4e-4, plateau_patience=12,
+        max_steps_per_interval=2, save_path=None, resume=False,
+        shuffle_seed=100 + cycle,
     )
-    p, hist = ct.train_crnn(init_parameters(0, ccfg), ds, ccfg, tcfg)
-    # one more polish from wherever SGD ends (cheap if already at a basin)
-    p, tr, va, info = ct.polish_crnn(
-        np.asarray(p), ds, ccfg, tcfg, maxiter=250, eval_chunk=80,
-        stop_train=TRAIN_TARGET, stop_valid=VALID_TARGET, save_path=save,
+    p_burst, h = ct.train_crnn(p, ds, ccfg, burst, verbose=True)
+    # 2. descend: preconditioned polish from the burst end (f32; cheap)
+    p2, tr, va, info = ct.polish_crnn(
+        np.asarray(p_burst), ds, ccfg, tcfg_eval, maxiter=120, eval_chunk=80,
+        stop_train=TRAIN_TARGET, stop_valid=VALID_TARGET,
+        save_path=None, param_scale=scale,
     )
-    print(f"POLISH2 train {tr:.6e} valid {va:.6e} ({info['status']})", flush=True)
+    print(f"cycle {cycle}: burst end {h['train_loss'][-1]:.6e}/"
+          f"{h['valid_loss'][-1]:.6e} -> polish {tr:.6e}/{va:.6e} "
+          f"({info['status']})", flush=True)
+    if tr + va < best_tr + best_va:
+        best_tr, best_va, p = tr, va, np.asarray(p2)
+        # append the improvement so parameters[-1]/losses[-1] ratchet down
+        _, tr2, va2, _ = ct.polish_crnn(
+            p, ds, ccfg, tcfg_eval, maxiter=0, eval_chunk=80,
+            save_path=save, param_scale=scale, verbose=False,
+        )
+        print(f"cycle {cycle}: saved best train {best_tr:.6e} "
+              f"valid {best_va:.6e}", flush=True)
 
-test = ct.test_crnn(p, ds, ccfg, tcfg)
-print(f"FINAL train {tr:.6e} valid {va:.6e} test {test:.6e}")
+if not done(best_tr, best_va):
+    # 3. escalate: f64-evaluated polish (the f32 stall is loss granularity;
+    #    f64 restores line-search resolution at ~3-5x per-iteration cost)
+    tcfg64 = ct.CRNNTrainConfig(max_steps_per_interval=2, dtype="f64")
+    p2, tr, va, info = ct.polish_crnn(
+        p, ds, ccfg, tcfg64, maxiter=150, eval_chunk=80,
+        stop_train=TRAIN_TARGET, stop_valid=VALID_TARGET,
+        save_path=None, param_scale=scale,
+    )
+    print(f"f64 polish: {tr:.6e}/{va:.6e} ({info['status']})", flush=True)
+    # report in the standard f32 loss convention
+    import jax.numpy as jnp
+
+    tr32 = float(ct.batch_loss(
+        jnp.asarray(p2, jnp.float32), ccfg,
+        *(jnp.asarray(getattr(ds, k)[np.asarray(ct.make_splits(len(ds.tsteps))[0])],
+                      jnp.float32)
+          for k in ("tsteps", "Tlist", "u0", "ylabel", "yscale")),
+        tcfg_eval,
+    ))
+    va32 = float(ct.batch_loss(
+        jnp.asarray(p2, jnp.float32), ccfg,
+        *(jnp.asarray(getattr(ds, k)[np.asarray(ct.make_splits(len(ds.tsteps))[1])],
+                      jnp.float32)
+          for k in ("tsteps", "Tlist", "u0", "ylabel", "yscale")),
+        tcfg_eval,
+    ))
+    print(f"f64 polish at f32 eval: {tr32:.6e}/{va32:.6e}", flush=True)
+    if tr32 + va32 < best_tr + best_va:
+        best_tr, best_va, p = tr32, va32, np.asarray(p2)
+        ct.polish_crnn(
+            p, ds, ccfg, tcfg_eval, maxiter=0, eval_chunk=80,
+            save_path=save, param_scale=scale, verbose=False,
+        )
+        print(f"saved f64-polished best {best_tr:.6e}/{best_va:.6e}", flush=True)
+
+test = ct.test_crnn(p, ds, ccfg, tcfg_eval)
+print(f"FINAL train {best_tr:.6e} valid {best_va:.6e} test {test:.6e} "
+      f"targets_met={done(best_tr, best_va)}")
