@@ -57,8 +57,11 @@ sidecar = save + ".state.npz"
 
 hist = ct._load_history(save)
 best_tr, best_va = hist["train_loss"][-1], hist["valid_loss"][-1]
-with np.load(sidecar) as z:
-    p = np.asarray(z["p"])
+# updated_p tracks every save (including the polish ratchet, which does NOT
+# refresh the optimizer sidecar); the sidecar is only used for the Adam
+# second-moment preconditioner scale
+with np.load(save, allow_pickle=True) as z:
+    p = np.asarray(z["updated_p"])
 scale = ct.adam_param_scale(sidecar)
 print(f"finisher start: train {best_tr:.6e} valid {best_va:.6e}", flush=True)
 
