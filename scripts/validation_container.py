@@ -112,7 +112,10 @@ def main():
             for mech in PAIRINGS[mode]:
                 stages.stage_simulate(container_cfg(mech, mode == "eon"))
 
-    if step in ("mlp4d", "all"):
+    # mlp4d-sweeps: the TPU part only (400-case 4D sweeps); mlp4d-train: the
+    # CPU part only (time-MLP fits) -- split so the chip is released while
+    # the MLPs train on host. Plain mlp4d still does both serially.
+    if step in ("mlp4d", "mlp4d-sweeps", "all"):
         for mode in modes:
             for mech in PAIRINGS[mode]:
                 if existing_time_mlp(mech, mode == "eon"):
@@ -122,7 +125,14 @@ def main():
                 if not os.path.exists(cfg.cases_csv):
                     shutil.copy(REF_4D_CSV, cfg.cases_csv)
                 stages.stage_simulate(cfg)
-                stages.stage_train_profile_mlp(cfg, "time")
+                if step != "mlp4d-sweeps":
+                    stages.stage_train_profile_mlp(cfg, "time")
+    if step == "mlp4d-train":
+        for mode in modes:
+            for mech in PAIRINGS[mode]:
+                if existing_time_mlp(mech, mode == "eon"):
+                    continue
+                stages.stage_train_profile_mlp(mlp4d_cfg(mech, mode == "eon"), "time")
 
     if step in ("figures", "all"):
         for mode in modes:
