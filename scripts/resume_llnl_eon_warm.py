@@ -71,18 +71,20 @@ def done(tr, va):
 
 
 tcfg_eval = ct.CRNNTrainConfig(max_steps_per_interval=2)
-# explore/polish cycles: cycle 0 ratcheted 1.179/1.156 -> 1.141/1.113; later
-# cycles' random hops did not beat it, so the budget now goes to the f64
-# escalation below (HEXPYRO_FINISH_CYCLES to re-enable bursts)
-for cycle in range(int(os.environ.get("HEXPYRO_FINISH_CYCLES", "0"))):
+# explore/polish cycles: the polish stalls on clamp-facet kinks (observed in
+# BOTH f32 and f64 -- precision is not the bottleneck); an SGD burst hops off
+# the facet and the next polish descends further (cycle 0: 1.179/1.156 ->
+# 1.141/1.113). Burst amplitude decays per cycle as the target nears.
+for cycle in range(int(os.environ.get("HEXPYRO_FINISH_CYCLES", "5"))):
     if done(best_tr, best_va):
         break
     # 1. explore: short batch-4 AdamW burst at warm LR (no saving; the burst
     #    may transiently regress while it hops)
     burst = ct.CRNNTrainConfig(
-        epochs=12, batch_size=4, learning_rate=2.4e-4, plateau_patience=12,
+        epochs=12, batch_size=4, learning_rate=2.4e-4 * 0.7 ** cycle,
+        plateau_patience=12,
         max_steps_per_interval=2, save_path=None, resume=False,
-        shuffle_seed=100 + cycle,
+        shuffle_seed=200 + cycle,
     )
     p_burst, h = ct.train_crnn(p, ds, ccfg, burst, verbose=True)
     # 2. descend: preconditioned polish from the burst end (f32; cheap)
