@@ -68,6 +68,8 @@ def main(argv=None) -> int:
         _add_common(sp)
         if name == "train-crnn":
             sp.add_argument("--temp-mlp-dir", dest="temp_mlp_dir")
+            sp.add_argument("--polish", action="store_true",
+                            help="full-batch L-BFGS finish after AdamW")
         if name == "deploy":
             sp.add_argument("--crnn-npz", dest="crnn_npz", required=True)
             sp.add_argument("--time-mlp-dir", dest="time_mlp_dir", required=True)
@@ -113,7 +115,8 @@ def main(argv=None) -> int:
     elif args.cmd == "fit-seed":
         stages.stage_fit_seed(cfg)
     elif args.cmd == "train-crnn":
-        stages.stage_train_crnn(cfg, temp_mlp_dir=args.temp_mlp_dir)
+        stages.stage_train_crnn(cfg, temp_mlp_dir=args.temp_mlp_dir,
+                                polish=args.polish)
     elif args.cmd == "train-temp-mlp":
         stages.stage_train_profile_mlp(cfg, "temp")
     elif args.cmd == "train-time-mlp":

@@ -331,8 +331,14 @@ def _dataset_paths(cfg: PipelineConfig, n: int | None = None,
     ]
 
 
-def stage_train_crnn(cfg: PipelineConfig, temp_mlp_dir: str | None = None):
-    """CRNN training on the generated trajectory dataset; npz history out."""
+def stage_train_crnn(
+    cfg: PipelineConfig, temp_mlp_dir: str | None = None, polish: bool = False
+):
+    """CRNN training on the generated trajectory dataset; npz history out.
+
+    polish=True appends a full-batch L-BFGS finish (polish_crnn) after the
+    AdamW loop -- the round-3 capability that closed the deepest Eon anchors.
+    """
     _jax_setup(cfg)
     from ..surrogate.crnn import config_for, init_parameters
     from ..training import crnn_trainer as ct
@@ -364,9 +370,16 @@ def stage_train_crnn(cfg: PipelineConfig, temp_mlp_dir: str | None = None):
     # resume (params + optimizer + lr state, history append) happens inside
     # train_crnn via tcfg.resume whenever `save` already exists
     p, hist = ct.train_crnn(init_parameters(0, ccfg), ds, ccfg, tcfg)
+    tr, va = hist["train_loss"][-1], hist["valid_loss"][-1]
+    if polish:
+        p, tr, va, info = ct.polish_crnn(
+            np.asarray(p), ds, ccfg, tcfg, eval_chunk=min(80, len(ds.tsteps)),
+            save_path=save, param_scale=ct.adam_param_scale(save + ".state.npz"),
+        )
+        print(f"[train-crnn] polish {tr:.6f}/{va:.6f} ({info['status']})")
     test_loss = ct.test_crnn(p, ds, ccfg, tcfg)
-    print(f"[train-crnn] final train {hist['train_loss'][-1]:.6f} "
-          f"valid {hist['valid_loss'][-1]:.6f} test {test_loss:.6f} -> {save}")
+    print(f"[train-crnn] final train {tr:.6f} "
+          f"valid {va:.6f} test {test_loss:.6f} -> {save}")
     return save
 
 

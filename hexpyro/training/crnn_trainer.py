@@ -529,10 +529,17 @@ def polish_crnn(
 
     def fun(z):
         f, g = train_value_and_grad(jnp.asarray(z * scale, dt))
+        f = float(f)
+        g = np.asarray(g, np.float64) * scale
+        # a diverged ODE solve (non-finite loss/grad) must read as "very bad",
+        # not poison the line search or get saved as a result
+        if not np.isfinite(f):
+            f = 1e10
+        g = np.where(np.isfinite(g), g, 0.0)
         state["evals"] += 1
         state["last_x"] = np.asarray(z)
-        state["last_f"] = float(f)
-        return float(f), np.asarray(g, np.float64) * scale
+        state["last_f"] = f
+        return f, g
 
     x0 = np.asarray(p0, np.float64) / scale
     f0, _ = fun(x0)
@@ -576,6 +583,13 @@ def polish_crnn(
         result_status = "target reached"
 
     p_best = jnp.asarray(best["x"], dt)
+    if save_path is not None and not (
+        np.isfinite(best["train"]) and np.isfinite(best["valid"])
+        and best["train"] < 1e9  # 1e10 is the diverged-solve sentinel
+    ):
+        if verbose:
+            print("polish: best point non-finite; nothing saved")
+        save_path = None
     if save_path is not None:
         history = (
             _load_history(save_path)
