@@ -611,6 +611,26 @@ def polish_crnn(
     return np.asarray(p_best), best["train"], best["valid"], info
 
 
+def eval_crnn_f32(p, ds: CRNNDataset, cfg: CRNNConfig, tcfg: CRNNTrainConfig):
+    """(train, valid) loss at f32 — the reference npz loss convention.
+
+    Used to report f64-polished parameters in the same units as the
+    reference training histories (Eon_surrogate_model_training.py:281-293).
+    """
+    tr_idx, va_idx, _ = make_splits(ds.tsteps.shape[0], tcfg.split_seed)
+    out = []
+    for idx in (jnp.asarray(tr_idx), jnp.asarray(va_idx)):
+        out.append(float(batch_loss(
+            jnp.asarray(p, jnp.float32), cfg,
+            jnp.asarray(ds.tsteps, jnp.float32)[idx],
+            jnp.asarray(ds.Tlist, jnp.float32)[idx],
+            jnp.asarray(ds.u0, jnp.float32)[idx],
+            jnp.asarray(ds.ylabel, jnp.float32)[idx],
+            jnp.asarray(ds.yscale, jnp.float32)[idx], tcfg,
+        )))
+    return tuple(out)
+
+
 def test_crnn(p, ds: CRNNDataset, cfg: CRNNConfig, tcfg: CRNNTrainConfig):
     """Loss on the held-out test split (reference Trainer.test :492-510)."""
     _, _, test_idx = make_splits(ds.tsteps.shape[0], tcfg.split_seed)

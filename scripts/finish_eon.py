@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Finish an Eon CRNN to below its reference training anchors.
+
+Generalization of the LLNL round-3 finisher (scripts/resume_llnl_eon_warm.py)
+to any mechanism. The plateau-AdamW phase (scripts/flagship_train.py) gets
+within ~5% of the reference anchors; the remaining gap is facet stalls (the
+clamp kinks in the CRNN loss surface), not precision or ODE step budget
+(VALIDATION.md "Eon CRNN loss floor"). This script runs decaying-amplitude
+explore/polish cycles from the best saved point:
+
+  1. explore: short batch-4 AdamW burst at warm LR (SGD noise hops off the
+     facet; may transiently regress, never saved directly)
+  2. descend: Adam-preconditioned full-batch L-BFGS polish (polish_crnn)
+  3. escalate: f64-evaluated polish when f32 loss granularity stalls the
+     line search
+
+Every improvement is appended to the npz history so parameters[-1] /
+losses[-1] ratchet down (reference npz convention,
+SURROGATE_MODEL_TRAINING/Eon_surrogate_model_training.py:281-293). Stops the
+moment both anchors are beaten.
+
+Usage:
+  python scripts/finish_eon.py LLNL          # targets 1.19e-3 / 1.09e-3
+  python scripts/finish_eon.py NUIGMech1.1   # targets 1.68e-3 / 1.63e-3
+Env: HEXPYRO_FINISH_CYCLES, HEXPYRO_FINISH_TRAIN/VALID (target overrides),
+     HEXPYRO_FINISH_LR (burst LR), HEXPYRO_PLATFORM.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("HEXPYRO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["HEXPYRO_PLATFORM"])
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_enable_x64", True)  # f64 escalation; f32 arrays stay f32
+cache = "/root/.cache/jax_compile"
+os.makedirs(cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+import numpy as np
+
+from hexpyro.pipeline import artifacts
+from hexpyro.pipeline.config import PipelineConfig
+from hexpyro.pipeline.stages import _dataset_paths
+from hexpyro.surrogate.crnn import config_for
+from hexpyro.training import crnn_trainer as ct
+
+# reference anchors (BASELINE.md) with a small beat margin
+PRESETS = {
+    # mechanism: (out_root, train_target, valid_target)
+    "LLNL": ("runs/flagship_llnl_eon", 1.19e-3, 1.09e-3),
+    "NUIGMech1.1": ("runs/flagship_nuig_eon", 1.68e-3, 1.63e-3),
+    "JetSurf": ("runs/flagship_eon", 3.00e-3, 2.72e-3),
+}
+
+
+def main():
+    mechanism = sys.argv[1] if len(sys.argv) > 1 else "LLNL"
+    root, train_target, valid_target = PRESETS[mechanism]
+    train_target = float(os.environ.get("HEXPYRO_FINISH_TRAIN", train_target))
+    valid_target = float(os.environ.get("HEXPYRO_FINISH_VALID", valid_target))
+    mech_tag = "NUIG" if mechanism.startswith("NUIG") else mechanism
+
+    cfg = PipelineConfig(mechanism=mechanism, n_cases=800, out_root=root,
+                         energy_on=True)
+    ds = ct.load_crnn_dataset(_dataset_paths(cfg))
+    params = artifacts.load_mlp_params_npz(
+        f"{root}/temp_mlp/weights_{mechanism}_2D.npz")
+    lo, hi = artifacts.load_minmax_scaler(
+        f"{root}/temp_mlp/min_max_{mechanism}_2D.pkl")
+    ds = ct.substitute_temp_profiles(ds, params, lo, hi)
+    ccfg = config_for(mech_tag if mech_tag == "NUIG" else mechanism,
+                      energy_on=True)
+    save = f"{root}/crnn/training_history_{mech_tag}_Eon.npz"
+    sidecar = save + ".state.npz"
+
+    hist = ct._load_history(save)
+    best_tr, best_va = hist["train_loss"][-1], hist["valid_loss"][-1]
+    # updated_p tracks every save (including the polish ratchet, which does
+    # NOT refresh the optimizer sidecar); the sidecar is only used for the
+    # Adam second-moment preconditioner scale
+    with np.load(save, allow_pickle=True) as z:
+        p = np.asarray(z["updated_p"])
+    scale = ct.adam_param_scale(sidecar)
+    print(f"finisher start [{mechanism}]: train {best_tr:.6e} "
+          f"valid {best_va:.6e} targets {train_target:.3e}/{valid_target:.3e}",
+          flush=True)
+
+    def done(tr, va):
+        return tr <= train_target and va <= valid_target
+
+    def save_best(pbest):
+        # maxiter=0 polish = evaluate + append to the npz history ratchet
+        ct.polish_crnn(pbest, ds, ccfg, tcfg_eval, maxiter=0, eval_chunk=80,
+                       save_path=save, param_scale=scale, verbose=False)
+
+    tcfg_eval = ct.CRNNTrainConfig(max_steps_per_interval=2)
+    base_lr = float(os.environ.get("HEXPYRO_FINISH_LR", "2.4e-4"))
+    for cycle in range(int(os.environ.get("HEXPYRO_FINISH_CYCLES", "5"))):
+        if done(best_tr, best_va):
+            break
+        burst = ct.CRNNTrainConfig(
+            epochs=12, batch_size=4, learning_rate=base_lr * 0.7 ** cycle,
+            plateau_patience=12, max_steps_per_interval=2, save_path=None,
+            resume=False, shuffle_seed=200 + cycle,
+        )
+        p_burst, h = ct.train_crnn(p, ds, ccfg, burst, verbose=True)
+        p2, tr, va, info = ct.polish_crnn(
+            np.asarray(p_burst), ds, ccfg, tcfg_eval, maxiter=120,
+            eval_chunk=80, stop_train=train_target, stop_valid=valid_target,
+            save_path=None, param_scale=scale,
+        )
+        print(f"cycle {cycle}: burst end {h['train_loss'][-1]:.6e}/"
+              f"{h['valid_loss'][-1]:.6e} -> polish {tr:.6e}/{va:.6e} "
+              f"({info['status']})", flush=True)
+        if tr + va < best_tr + best_va:
+            best_tr, best_va, p = tr, va, np.asarray(p2)
+            save_best(p)
+            print(f"cycle {cycle}: saved best train {best_tr:.6e} "
+                  f"valid {best_va:.6e}", flush=True)
+
+    if not done(best_tr, best_va):
+        # f64-evaluated polish: the f32 stall is loss granularity; f64
+        # restores line-search resolution at ~3-5x per-iteration cost
+        tcfg64 = ct.CRNNTrainConfig(max_steps_per_interval=2, dtype="f64")
+        p2, tr, va, info = ct.polish_crnn(
+            p, ds, ccfg, tcfg64, maxiter=150, eval_chunk=80,
+            stop_train=train_target, stop_valid=valid_target,
+            save_path=None, param_scale=scale,
+        )
+        print(f"f64 polish: {tr:.6e}/{va:.6e} ({info['status']})", flush=True)
+        tr32, va32 = ct.eval_crnn_f32(np.asarray(p2), ds, ccfg, tcfg_eval)
+        print(f"f64 polish at f32 eval: {tr32:.6e}/{va32:.6e}", flush=True)
+        if tr32 + va32 < best_tr + best_va:
+            best_tr, best_va, p = tr32, va32, np.asarray(p2)
+            save_best(p)
+            print(f"saved f64-polished best {best_tr:.6e}/{best_va:.6e}",
+                  flush=True)
+
+    test = ct.test_crnn(p, ds, ccfg, tcfg_eval)
+    print(f"FINAL [{mechanism}] train {best_tr:.6e} valid {best_va:.6e} "
+          f"test {test:.6e} targets_met={done(best_tr, best_va)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,25 @@ def test_polish_early_stop_on_targets(tmp_path):
     )
     assert info["status"] == "target reached"
     assert info["n_evals"] <= 10  # stopped on the first accepted iterate
+
+
+def test_eval_crnn_f32_matches_batch_loss():
+    from hexpyro.training.crnn_trainer import batch_loss, eval_crnn_f32
+
+    cfg, ds = _synthetic_dataset()
+    tcfg = CRNNTrainConfig(max_steps_per_interval=4)
+    p0 = init_parameters(4, cfg)
+    tr, va = eval_crnn_f32(p0, ds, cfg, tcfg)
+    tr_idx, va_idx, _ = make_splits(ds.tsteps.shape[0], tcfg.split_seed)
+    for got, idx in ((tr, tr_idx), (va, va_idx)):
+        sel = np.asarray(idx)
+        want = float(batch_loss(
+            jnp.asarray(p0, jnp.float32), cfg,
+            jnp.asarray(ds.tsteps[sel], jnp.float32),
+            jnp.asarray(ds.Tlist[sel], jnp.float32),
+            jnp.asarray(ds.u0[sel], jnp.float32),
+            jnp.asarray(ds.ylabel[sel], jnp.float32),
+            jnp.asarray(ds.yscale[sel], jnp.float32), tcfg,
+        ))
+        assert np.isfinite(got)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
