@@ -51,14 +51,21 @@ def main():
     variants = [json.loads(v) for v in sys.argv[2:]] or [{}]
     window = 25
 
+    # HEXPYRO_AB_MECH selects the mechanism (default LLNL); the NUIG chain is
+    # ~8x costlier per case (924 species, n^3 linear algebra), so its sweep
+    # knobs deserve their own A/B before burning hours of TPU
+    mech_name = os.environ.get("HEXPYRO_AB_MECH", "LLNL")
+    tag = "nuig" if mech_name.startswith("NUIG") else mech_name.lower()
     cases = np.loadtxt(
-        "runs/flagship_llnl_eon/sampling_case_2D.csv", delimiter=","
+        f"runs/flagship_{tag}_eon/sampling_case_2D.csv", delimiter=","
     )
     order = np.argsort(cases[:, 0])
     sel = cases[order[np.linspace(0, len(cases) - 1, 16).astype(int)]]
 
+    yaml_name = "NUIGMech1.1" if mech_name.startswith("NUIG") else mech_name
     mech = load_mechanism(
-        "/root/reference/DETAILED_KINETIC_MODEL/LLNL.yaml", name="LLNL"
+        f"/root/reference/DETAILED_KINETIC_MODEL/{yaml_name}.yaml",
+        name=mech_name,
     )
     arr = to_device_arrays(mech, dtype=jnp.float32)
     T0 = jnp.asarray(sel[:, 0], jnp.float32)
