@@ -24,10 +24,46 @@ HEXPYRO_BENCH_MECH (mechanism name), HEXPYRO_BENCH_DTYPE (f64|f32).
 
 import json
 import os
+import signal
 import sys
 import time
 
 CANTERA_BASELINE_TRAJ_PER_S = 1.25e-3
+
+# The axon TPU is exclusive per process. Long pipeline jobs (sweeps, CRNN
+# training) advertise their PID here and are restart-by-construction (chunk
+# files / per-epoch checkpoints), so the benchmark may safely preempt one to
+# free the chip; the queue's retry loop resumes after the bench releases it.
+TPU_JOB_PIDFILE = "/tmp/hexpyro_tpu_job.pid"
+
+
+def _preempt_resumable_tpu_job() -> None:
+    try:
+        with open(TPU_JOB_PIDFILE) as f:
+            pid = int(f.read().strip())
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().decode(errors="replace").replace("\0", " ")
+    except (OSError, ValueError):
+        return
+    # only ever kill a verified pipeline job, by exact PID
+    if "python" not in cmdline or not (
+        "hexpyro" in cmdline or "scripts/" in cmdline
+    ):
+        return
+    sys.stderr.write(
+        f"bench: preempting resumable TPU job {pid}: {cmdline.strip()}\n"
+    )
+    try:
+        os.kill(pid, signal.SIGTERM)
+        for _ in range(75):
+            if not os.path.exists(f"/proc/{pid}"):
+                break
+            time.sleep(0.2)
+        else:
+            os.kill(pid, signal.SIGKILL)
+            time.sleep(1.0)
+    except OSError:
+        pass
 
 # MEASURED single-threaded scipy-BDF (analytic Jacobian, reference-friendly)
 # baselines from measure_cpu_baseline in this image:
@@ -402,6 +438,7 @@ def main() -> None:
     if os.environ.get("HEXPYRO_BENCH_TRAIN_BASELINE"):
         print(json.dumps(measure_torch_train_baseline()))
         return
+    _preempt_resumable_tpu_job()
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
     # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the
     # Newton-Schulz-preconditioned solver (3.0 traj/s with carry_jacobian,
