@@ -79,6 +79,67 @@ class TestStages:
         d = artifacts.read_trajectory_txt(paths[0])
         assert np.all(np.diff(d["t"]) > 0)
 
+        # force_f64_ids: with the threshold back at its default, a CONVERGED
+        # case is still routed through the f64 rescue writer and its txt is
+        # rewritten in place (same f64 solve, different lane composition)
+        monkeypatch.setenv("HEXPYRO_RESCUE_RESID", "300")
+        before = artifacts.read_trajectory_txt(paths[1])
+        t0 = os.path.getmtime(paths[1])
+        stages.stage_simulate(cfg, verbose=False, only_ids=np.array([1]),
+                              force_f64_ids=np.array([1]))
+        assert os.path.getmtime(paths[1]) > t0
+        after = artifacts.read_trajectory_txt(paths[1])
+        rel = np.abs(after["C"] - before["C"]) / np.maximum(
+            np.abs(before["C"]).max(0), 1e-30)
+        assert rel.max() < 1e-6
+
+    def test_simulate_only_ids_subset(self, tiny_cfg):
+        """Priority subset sweep: only the requested global case ids are
+        written, under their global numbering, matching the full sweep's
+        trajectories bit-for-bit (same cases CSV, same chunk shape)."""
+        import shutil
+
+        cfg = dataclasses.replace(tiny_cfg, out_root=tiny_cfg.out_root + "/subset")
+        if not os.path.exists(tiny_cfg.cases_csv):
+            stages.stage_sample(tiny_cfg)
+            stages.stage_simulate(tiny_cfg, verbose=False)
+        os.makedirs(cfg.out_root, exist_ok=True)
+        shutil.copy(tiny_cfg.cases_csv, cfg.cases_csv)
+        paths = stages.stage_simulate(cfg, verbose=False, only_ids=np.array([2, 5]))
+        names = sorted(os.path.basename(p) for p in paths)
+        assert names == ["JetSurf_Eoff_3.txt", "JetSurf_Eoff_6.txt"]
+        assert sorted(os.listdir(cfg.dataset_dir)) == names
+        cases = np.loadtxt(cfg.cases_csv, delimiter=",")
+        for k, name in ((2, "JetSurf_Eoff_3.txt"), (5, "JetSurf_Eoff_6.txt")):
+            got = artifacts.read_trajectory_txt(f"{cfg.dataset_dir}/{name}")
+            # global-id mapping is the contract: the isothermal trajectory
+            # carries its global case's exact (T0, P0)
+            assert abs(got["T"][0] - cases[k, 0]) < 1e-2
+            assert abs(got["P"][0] - cases[k, 1] * 1e5) < 1.0
+            ref = artifacts.read_trajectory_txt(f"{tiny_cfg.dataset_dir}/{name}")
+            # trajectory equivalence is only a gross-mismap guard: lane
+            # composition differs between the full and subset batches, so
+            # stall points and even the f64-rescue decision can differ on the
+            # tiny config's extra-stiff segments (dz = L/6); a wrong case
+            # would be O(1) off
+            rel = np.abs(got["C"] - ref["C"]) / np.maximum(
+                np.abs(ref["C"]).max(0), 1e-30)
+            assert rel.max() < 5e-2, f"{name}: max rel-to-peak {rel.max():.3e}"
+        # no solver_diagnostics for subset sweeps (indices would be partial)
+        assert not os.path.exists(f"{cfg.dataset_dir}/solver_diagnostics.npz")
+
+    def test_pick_validation_cases(self):
+        rng = np.random.default_rng(7)
+        cases = rng.uniform([900, 1], [1200, 5], (810, 2))
+        for eon in (False, True):
+            pick = stages.pick_validation_cases(cases, eon, "reference-valid")
+            assert len(pick) == 3 and len(set(pick)) == 3
+            assert all(isinstance(k, int) and 0 <= k < 810 for k in pick)
+        # Eon picker is the reference's sorted-all 200/410/800 rule
+        order = np.argsort(cases[:, 0])
+        assert stages.pick_validation_cases(cases, True, "reference-valid") == \
+            [int(order[200]), int(order[410]), int(order[800])]
+
     def test_deploy_time_grid_unit_consistency(self, tiny_cfg):
         """Closed-loop units check: a well-trained time-MLP deployed through
         stage_deploy must reproduce the TRUE time grids it was trained on.
