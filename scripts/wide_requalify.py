@@ -9,10 +9,21 @@ re-solves exactly those cases at f64.
 
 Steps (idempotent):
   python scripts/wide_requalify.py sweep      # TPU: re-sweep with the rescue
+  python scripts/wide_requalify.py fix        # TPU: force-f64 the K coldest
+                                              # cases (HEXPYRO_WIDE_FIX_K=32)
   python scripts/wide_requalify.py spotcheck  # f64 re-solve of the coldest
                                               # case vs the dataset txt
+                                              # (HEXPYRO_SPOT_RANK=k checks
+                                              # the (k+1)-th coldest instead)
   python scripts/wide_requalify.py revalidate # wide CRNN losses on the
                                               # corrected dataset
+
+The fix step exists because the rescue trigger (residual OR convergence flag)
+is necessary but not sufficient for the 1% target at the cold edge: the
+coldest case CONVERGES at f32 yet measures 1.091e-2 rel-to-peak vs CPU f64
+(near-frozen chemistry -> tiny trace-species peaks). Forcing the coldest K
+through the f64 rescue writer makes those entries f64-grade; the spotcheck at
+rank K then bounds every remaining f32 case.
 """
 
 import os
@@ -20,6 +31,14 @@ import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# JAX_PLATFORMS env is ignored by this build (CLAUDE.md); honor the
+# HEXPYRO_PLATFORM convention so the CPU-lane revalidate doesn't try to grab
+# the (held) TPU and die on backend init
+if os.environ.get("HEXPYRO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["HEXPYRO_PLATFORM"])
 
 import numpy as np
 
@@ -53,8 +72,22 @@ def main():
               f"{int(z['n_unconverged'])}, max resid "
               f"{np.nanmax(z['case_max_resid']):.3g}")
 
+    if step == "fix":
+        K = int(os.environ.get("HEXPYRO_WIDE_FIX_K", "32"))
+        cases = lhs.read_cases_csv(cfg.cases_csv)[: cfg.n_cases]
+        coldest = np.argsort(cases[:, 0])[:K]
+        print(f"[wide-requalify] forcing f64 on the {K} coldest cases "
+              f"(T0 {cases[coldest, 0].min():.1f}-"
+              f"{cases[coldest, 0].max():.1f} K)")
+        stages.stage_simulate(cfg, only_ids=coldest, force_f64_ids=coldest)
+
     if step in ("spotcheck", "all"):
         import jax
+
+        # without this the "f64" reference solve silently truncates to f32
+        # (jnp.float64 requests downgrade with a UserWarning) and the check
+        # measures solver-option sensitivity, not accuracy vs f64
+        jax.config.update("jax_enable_x64", True)
         import jax.numpy as jnp
 
         from hexpyro.mechanism import load_mechanism, to_device_arrays
@@ -62,7 +95,9 @@ def main():
         from hexpyro.reactors.pfr import simulate_pfr, tracked_indices
 
         cases = lhs.read_cases_csv(cfg.cases_csv)[: cfg.n_cases]
-        worst = int(np.argmin(cases[:, 0]))  # coldest wide case
+        # rank 0 = coldest; after `fix`, rank K bounds the coldest UNFIXED case
+        rank = int(os.environ.get("HEXPYRO_SPOT_RANK", "0"))
+        worst = int(np.argsort(cases[:, 0])[rank])
         mech = load_mechanism(cfg.mech_path, name="LLNL")
         arr64 = to_device_arrays(mech, dtype=jnp.float64)
         tracked = tracked_indices(mech.species_names)
@@ -79,7 +114,7 @@ def main():
             cfg.dataset_dir,
             artifacts.trajectory_case_filename("LLNL", False, worst + 1)))
         rel = np.abs(d["C"] - C64) / np.maximum(np.abs(C64).max(0), 1e-30)
-        print(f"[wide-requalify] coldest case {worst + 1} "
+        print(f"[wide-requalify] rank-{rank} coldest case {worst + 1} "
               f"(T0={cases[worst, 0]:.1f} K): max rel-to-peak vs f64 = "
               f"{rel.max():.3e} (target <= 1e-2)")
 
