@@ -85,6 +85,11 @@ def main():
     m = "Eon" if energy_on else "Eoff"
     save = f"{out_root}/crnn/training_history_{mech_tag}_{m}{'_wide' if wide else ''}.npz"
     target = TARGETS[(mech, "wide" if wide else energy_on)]
+    # optional plateau-LR override on resume (CRNNTrainConfig.resume_lr_scale):
+    # used when the training data changed under a finished run (e.g. the wide
+    # dataset requalification) and the collapsed plateau LR can't move
+    rls = os.environ.get("HEXPYRO_RESUME_LR_SCALE")
+    rls = float(rls) if rls else None
     if wide:
         # WIDE_Eoff recipe (WIDE_...py:16-19,383): lr 5e-4, clip 10, wd 1e-4,
         # tighter ODE tolerances (which need a larger per-interval budget)
@@ -95,6 +100,7 @@ def main():
             max_steps_per_interval=4,
             save_path=save, save_every=10, stop_at_train_loss=target,
             stop_at_valid_loss=VALID_TARGETS[(mech, "wide")],
+            resume_lr_scale=rls,
         )
     else:
         # LLNL's 2.25e-3 target is ~2.5x deeper than JetSurf/NUIG's and needs
@@ -112,6 +118,7 @@ def main():
             save_every=10,
             stop_at_train_loss=target,
             stop_at_valid_loss=VALID_TARGETS[(mech, energy_on)],
+            resume_lr_scale=rls,
         )
     # resume (params + optimizer + lr state, history append) is handled inside
     # train_crnn via tcfg.resume whenever `save` already exists
