@@ -38,9 +38,14 @@ def main():
     cfg = make_cfg()
     os.makedirs(ROOT, exist_ok=True)
     # training sweep reuses the flagship 2D LHS draw (seed 2024), same as the
-    # other flagship runs (reference training CSV reproduction)
+    # other flagship runs (reference training CSV reproduction); the draw is
+    # deterministic, so regenerate it if the sibling run's copy is gone
     if not os.path.exists(cfg.cases_csv):
-        shutil.copy("runs/flagship_llnl_eon/sampling_case_2D.csv", cfg.cases_csv)
+        src = "runs/flagship_llnl_eon/sampling_case_2D.csv"
+        if os.path.exists(src):
+            shutil.copy(src, cfg.cases_csv)
+        else:
+            stages.stage_sample(cfg)
 
     if step in ("sweep", "all"):
         stages.stage_simulate(cfg)
@@ -48,8 +53,11 @@ def main():
         icfg = make_cfg(out_root=INDEP, n_cases=400, seed=12984)
         os.makedirs(INDEP, exist_ok=True)
         if not os.path.exists(icfg.cases_csv):
-            shutil.copy("runs/independent_llnl_eon/sampling_case_2D.csv",
-                        icfg.cases_csv)
+            src = "runs/independent_llnl_eon/sampling_case_2D.csv"
+            if os.path.exists(src):
+                shutil.copy(src, icfg.cases_csv)
+            else:
+                stages.stage_sample(icfg)
         stages.stage_simulate(icfg)
     if step in ("mlp", "all"):
         # temp-MLP: 600 epochs instead of the reference's 20 — the Eon CRNN
