@@ -50,6 +50,11 @@ def _jax_setup(cfg: PipelineConfig):
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # every stage is restart-by-construction, so a TPU-holding stage may be
+    # preempted by bench.py; advertise the PID it should signal
+    from .tpulock import advertise_resumable_tpu_job
+
+    advertise_resumable_tpu_job()
     return jax
 
 

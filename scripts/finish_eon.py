@@ -47,8 +47,11 @@ import numpy as np
 from hexpyro.pipeline import artifacts
 from hexpyro.pipeline.config import PipelineConfig
 from hexpyro.pipeline.stages import _dataset_paths
+from hexpyro.pipeline.tpulock import advertise_resumable_tpu_job
 from hexpyro.surrogate.crnn import config_for
 from hexpyro.training import crnn_trainer as ct
+
+advertise_resumable_tpu_job()  # explore/polish cycles ratchet-save each pass
 
 # reference anchors (BASELINE.md) with a small beat margin
 PRESETS = {

@@ -29,6 +29,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import numpy as np
 
+from hexpyro.pipeline.tpulock import advertise_resumable_tpu_job
+
+advertise_resumable_tpu_job()  # training resumes from per-epoch checkpoints
+
 from hexpyro.pipeline import artifacts
 from hexpyro.pipeline.config import PipelineConfig
 from hexpyro.pipeline.stages import _dataset_paths
