@@ -60,6 +60,12 @@ def make_cfg():
 def main():
     step = sys.argv[1] if len(sys.argv) > 1 else "all"
     cfg = make_cfg()
+    os.makedirs(ROOT, exist_ok=True)
+    # the wide draw (seed 2024, wide bounds) reproduces the reference's
+    # checked-in sampling_case_wide_2D.csv bit-for-bit; regenerate if the
+    # run directory was reset
+    if not os.path.exists(cfg.cases_csv):
+        stages.stage_sample(cfg)
 
     if step in ("sweep", "all"):
         # keep the round-2 dataset for diffing; re-sweep fresh so the
