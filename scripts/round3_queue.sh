@@ -44,9 +44,11 @@ step "nuig-eon sweep"  python scripts/flagship_nuig_eon.py sweep
 step "nuig-eon indep"  python scripts/flagship_nuig_eon.py indep
 step "nuig-eon mlps"   python scripts/flagship_nuig_eon.py mlp
 step "container eon priority" python scripts/container_priority.py eon
-step "llnl-eon 4d time-mlp sweep" python scripts/validation_container.py mlp4d-sweeps eon
-step "wide requalify sweep" python scripts/wide_requalify.py sweep
-step "wide requalify f64 fix" python scripts/wide_requalify.py fix
+# Critical path first: the NUIG Eon CRNN is the last unmatched reference
+# anchor (train early-stops once both anchors are beaten; finisher otherwise).
 step "nuig-eon crnn train" python scripts/flagship_train.py eon 600 NUIGMech1.1
 step "nuig-eon finisher" python scripts/finish_eon.py NUIGMech1.1
+step "wide requalify sweep" python scripts/wide_requalify.py sweep
+step "wide requalify f64 fix" python scripts/wide_requalify.py fix
+step "llnl-eon 4d time-mlp sweep" python scripts/validation_container.py mlp4d-sweeps eon
 echo "=== queue complete"
