@@ -6,6 +6,11 @@ Must run before jax is imported anywhere (pytest imports conftest first).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the suite is CPU-only: mark the process as such so pipeline stages invoked
+# by e2e tests never advertise themselves as the preemptible TPU holder in
+# /tmp/hexpyro_tpu_job.pid (observed: a pytest run stole the advertisement
+# from a live TPU training job, hiding it from bench.py's preemption)
+os.environ.setdefault("HEXPYRO_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
