@@ -1,4 +1,7 @@
 #!/bin/bash
+# SUPERSEDED by round3_coordinator.sh — do not launch a second instance;
+# check for live queue/coordinator processes (list /proc/*/cmdline) first.
+#
 # Round-3 TPU work queue: runs the remaining pipeline stages sequentially so
 # the chip never idles and the build survives orchestrator-session restarts.
 # Every stage is idempotent (skips existing artifacts), so re-running this
