@@ -25,14 +25,24 @@ if [ -f /tmp/round3_wait.pids ]; then
   done < /tmp/round3_wait.pids
 fi
 
-step() {  # step <name> <cmd...>
+step() {  # step <name> <cmd...>; returns the command's rc
   echo "=== [$(date +%H:%M:%S)] $1"
+  local name="$1"
   shift
   "$@"
-  echo "=== [$(date +%H:%M:%S)] $1 exited"
+  local rc=$?
+  echo "=== [$(date +%H:%M:%S)] $name exited rc=$rc"
+  return $rc
 }
 
-# TPU stages first
+# TPU stages first. The sweep resume comes first: a prior instance hung on a
+# device call at 592/800 (host CPU frozen ~25 min); restart-by-construction
+# skips finished chunks. `timeout` bounds any repeat hang; re-running after a
+# timeout kill resumes where it stopped, so loop it a few times.
+for attempt in 1 2 3 4; do
+  step "wide requalify sweep (attempt $attempt)" \
+    timeout 4500 python scripts/wide_requalify.py sweep && break
+done
 step "wide requalify fix"   python scripts/wide_requalify.py fix
 step "wide spotcheck"       python scripts/wide_requalify.py spotcheck
 step "llnl-eon 4d time-mlp sweep" python scripts/validation_container.py mlp4d-sweeps eon
