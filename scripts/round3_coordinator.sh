@@ -1,14 +1,15 @@
 #!/bin/bash
 # Round-3 coordinator: single owner of the remaining round-3 stages.
 #
-# Replaces round3_queue.sh + round3_tail.sh after a dual-queue incident
-# (two concurrent queue instances from different orchestrator sessions).
-# Waits for any still-running TPU children (passed as pids in
-# /tmp/round3_wait.pids, one per line), then runs the remaining stages
-# sequentially. Every stage is idempotent.
+# Waits for any still-running TPU children (pids in /tmp/round3_wait.pids,
+# one per line), then runs the remaining stages sequentially. Every stage is
+# idempotent / restart-by-construction.
 #
 #   nohup bash scripts/round3_coordinator.sh > /tmp/round3_coord.log 2>&1 &
 #
+# NB pid hygiene: verify the coordinator tree via /proc/*/cmdline scans, not
+# via the launcher's $! (an earlier kill hit a wrapper pid and left the real
+# coordinator running, yielding two concurrent instances).
 set -u
 cd "$(dirname "$0")/.."
 LOCK=/tmp/round3_coord.lock
@@ -35,20 +36,25 @@ step() {  # step <name> <cmd...>; returns the command's rc
   return $rc
 }
 
-# TPU stages first. The sweep resume comes first: a prior instance hung on a
-# device call at 592/800 (host CPU frozen ~25 min); restart-by-construction
-# skips finished chunks. `timeout` bounds any repeat hang; re-running after a
-# timeout kill resumes where it stopped, so loop it a few times.
+# --- TPU stages ---
+# Wide requalify sweep resume: bounded attempts (an earlier instance hung on
+# a device call mid-window; chunked execution resumes from finished files).
 for attempt in 1 2 3 4; do
-  step "wide requalify sweep (attempt $attempt)" \
-    timeout 4500 python scripts/wide_requalify.py sweep && break
+  step "wide sweep (attempt $attempt)" \
+    timeout 5400 python scripts/wide_requalify.py sweep && break
 done
-step "wide requalify fix"   python scripts/wide_requalify.py fix
-step "wide spotcheck"       python scripts/wide_requalify.py spotcheck
-step "llnl-eon 4d time-mlp sweep" python scripts/validation_container.py mlp4d-sweeps eon
-step "nuig-eon package"     python scripts/flagship_finish.py eon NUIGMech1.1
+step "wide fix"       python scripts/wide_requalify.py fix
+step "wide spotcheck" python scripts/wide_requalify.py spotcheck
+for attempt in 1 2; do
+  step "llnl-eon 4d time-mlp sweep (attempt $attempt)" \
+    timeout 5400 python scripts/validation_container.py mlp4d-sweeps eon && break
+done
+# NUIG Eon packaging normally runs before this script (guard: examples dir)
+if [ ! -d examples/flagship_nuig_800_eon ]; then
+  step "nuig-eon package" python scripts/flagship_finish.py eon NUIGMech1.1
+fi
 
-# CPU stages
+# --- CPU stages ---
 step "wide revalidate"      env HEXPYRO_PLATFORM=cpu python scripts/wide_requalify.py revalidate
 step "mlp4d train"          env HEXPYRO_PLATFORM=cpu python scripts/validation_container.py mlp4d-train eon
 step "container eon figure" env HEXPYRO_PLATFORM=cpu python scripts/validation_container.py figures eon

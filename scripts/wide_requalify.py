@@ -69,9 +69,15 @@ def main():
 
     if step in ("sweep", "all"):
         # keep the round-2 dataset for diffing; re-sweep fresh so the
-        # per-case diagnostics + convergence-keyed rescue apply end to end
+        # per-case diagnostics + convergence-keyed rescue apply end to end.
+        # Only a COMPLETE 800-case dataset is moved aside: an in-progress
+        # re-sweep must resume, not be archived (a partial dir was once moved
+        # into BACKUP on restart, silently restarting the sweep from zero)
         if os.path.exists(cfg.dataset_dir) and not os.path.exists(BACKUP):
-            shutil.move(cfg.dataset_dir, BACKUP)
+            n_txt = len([f for f in os.listdir(cfg.dataset_dir)
+                         if f.endswith(".txt")])
+            if n_txt >= cfg.n_cases:
+                shutil.move(cfg.dataset_dir, BACKUP)
         stages.stage_simulate(cfg)
         z = np.load(f"{cfg.dataset_dir}/solver_diagnostics.npz")
         print(f"[wide-requalify] unconverged after rescue: "
