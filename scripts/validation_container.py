@@ -74,7 +74,10 @@ def mlp4d_cfg(mech, energy_on):
     return PipelineConfig(
         mechanism=mech, energy_on=energy_on, dims=4, n_cases=400, seed=13895,
         out_root=mlp4d_root(mech, energy_on), dtype="f32", chunk_size=int(os.environ.get("HEXPYRO_SWEEP_CHUNK", "16")),
-        window=100,
+        # window=100 deterministically faults the TPU on LLNL Eon 4D (three
+        # identical UNAVAILABLE kernel faults ~95 s in); 25 matches the
+        # container cfg, which swept the same mechanism/mode cleanly.
+        window=int(os.environ.get("HEXPYRO_SWEEP_WINDOW", "25")),
     )
 
 
