@@ -69,6 +69,10 @@ MAP = {
     ],
     "examples/validation_4d_container": [
         ("sampling_case_4D.csv", "runs/validation_4d/"),
+        # LLNL Eon variable-geometry (seed-13895 4D sweep) time-MLP — the
+        # C18 container deploy's second model (round-4 delivery)
+        ("time_mlp/weights_LLNL_4D_time_on.npz", "runs/mlp4d_llnl_on/time_mlp/"),
+        ("time_mlp/min_max_LLNL_4D_time_on.pkl", "runs/mlp4d_llnl_on/time_mlp/"),
     ],
 }
 
@@ -80,7 +84,7 @@ def main():
         for fname, dest_rel in entries:
             src = os.path.join(REPO, exdir, fname)
             dest_dir = os.path.join(REPO, dest_rel)
-            dest = os.path.join(dest_dir, fname)
+            dest = os.path.join(dest_dir, os.path.basename(fname))
             if not os.path.exists(src):
                 missing += 1
                 continue

@@ -96,9 +96,19 @@ def ensure_draw():
 
 
 def existing_time_mlp(mech, energy_on):
-    """Flagship 4D time-MLP dir if one was already trained (JetSurf Eon)."""
+    """Variable-geometry 4D time-MLP dir if one was already trained.
+
+    Searches working runs/ first, then the committed examples/ deliveries
+    (rehydrate_runs.py restores the same files), so the MLP is never
+    retrained from scratch on a fresh clone.
+    """
     tag = f"{mech}_4D_time_{'on' if energy_on else 'off'}"
-    for root in (f"runs/flagship_4d/time_mlp", f"{mlp4d_root(mech, energy_on)}/time_mlp"):
+    for root in (
+        "runs/flagship_4d/time_mlp",
+        f"{mlp4d_root(mech, energy_on)}/time_mlp",
+        "examples/flagship_jetsurf_4d",
+        "examples/validation_4d_container/time_mlp",
+    ):
         if os.path.exists(f"{root}/weights_{tag}.npz"):
             return root
     return None
