@@ -170,6 +170,8 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
 
     paths, n_unconverged = [], 0
     iters_per_chunk = []  # (n_steps,) Newton iterations, aggregated over chunks
+    refs_per_chunk = []  # (n_steps,) Jacobian/preconditioner refreshes
+    rescs_per_chunk = []  # (n_steps,) LU rescues of the NS preconditioner
     # per-case solve quality, filled for chunks solved THIS invocation (skipped
     # restart chunks keep NaN/True); drives the f64 rescue pass below
     case_resid = np.full(n, np.nan)
@@ -230,6 +232,8 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
         case_conv[lo : lo + len(sel)] = np.asarray(traj.converged)
         case_resid[lo : lo + len(sel)] = np.asarray(traj.max_resid)
         iters_per_chunk.append(np.asarray(traj.newton_iters))
+        refs_per_chunk.append(np.asarray(traj.jac_refreshes))
+        rescs_per_chunk.append(np.asarray(traj.prec_rescues))
         paths += artifacts.write_sweep(
             cfg.dataset_dir, mech_tag, cfg.energy_on, traj, arr, tracked,
             include_rho=(cfg.dims == 4),
@@ -323,13 +327,17 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             f"{cfg.dataset_dir}/solver_diagnostics.npz",
             newton_iters=iters,
             mean_iters_per_segment=iters.mean(0),
+            jac_refreshes=np.stack(refs_per_chunk),
+            prec_rescues=np.stack(rescs_per_chunk),
             n_unconverged=n_unconverged,
             case_converged=case_conv,
             case_max_resid=case_resid,
         )
         if verbose:
             print(f"[simulate] Newton iters/segment: mean {iters.mean():.1f} "
-                  f"max {iters.max():.0f}")
+                  f"max {iters.max():.0f}; Jacobian refreshes/segment: mean "
+                  f"{np.stack(refs_per_chunk).mean():.2f} (LU rescues "
+                  f"{np.stack(rescs_per_chunk).sum():.0f})")
     if n_unconverged:
         print(f"[simulate] WARNING: {n_unconverged} unconverged cases")
     return paths

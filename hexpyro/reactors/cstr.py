@@ -251,14 +251,14 @@ def solve_steady_eoff(
     def build_fac(Y, dtau, prev_fac, nref):
         J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk)
         A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
-        fac = (
-            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters,
-                             precision=opts.ns_precision,
-                             allow_rescue=(nref % opts.ns_rescue_every == 0))
-            if use_ns
-            else factorize(A)
-        )
-        return fac, jnp.diagonal(J, axis1=1, axis2=2)
+        if use_ns:
+            fac, rescued = ns_refresh_state(
+                prev_fac, A, ns_iters=opts.ns_iters,
+                precision=opts.ns_precision,
+                allow_rescue=(nref % opts.ns_rescue_every == 0))
+        else:
+            fac, rescued = factorize(A), jnp.ones((), bool)  # LU path: every refresh is an LU
+        return fac, jnp.diagonal(J, axis1=1, axis2=2), rescued
 
     def cond(state):
         return jnp.logical_and(
@@ -273,10 +273,10 @@ def solve_steady_eoff(
             ),
             state["rejected"],
         )
-        fac, diagJ = jax.lax.cond(
+        fac, diagJ, rescued = jax.lax.cond(
             refresh,
             lambda args: build_fac(*args),
-            lambda args: (state["fac"], state["diagJ"]),
+            lambda args: (state["fac"], state["diagJ"], jnp.zeros((), bool)),
             (state["Y"], state["dtau"], state["fac"], state["nref"]),
         )
         delta = (
@@ -342,6 +342,7 @@ def solve_steady_eoff(
             "bad": jnp.where(done, state["bad"], bad_new),
             "it": state["it"] + 1,
             "nref": state["nref"] + refresh.astype(jnp.int32),
+            "nresc": state["nresc"] + rescued.astype(jnp.int32),
             "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
             "done": jnp.logical_or(done, newly_done),
             "hascarry": state["hascarry"],
@@ -377,6 +378,7 @@ def solve_steady_eoff(
         "bad": jnp.zeros((B,), jnp.int32),
         "it": jnp.zeros((), jnp.int32),
         "nref": jnp.zeros((), jnp.int32),
+        "nresc": jnp.zeros((), jnp.int32),
         "rejected": jnp.zeros((), bool),
         "done": jnp.zeros((B,), bool),
         "hascarry": (
@@ -389,6 +391,8 @@ def solve_steady_eoff(
     resid = jnp.minimum(out["best"], out["gnorm"])
     return out["Ybest"], {
         "iterations": out["it"],
+        "jac_refreshes": out["nref"],
+        "prec_rescues": out["nresc"],
         "resid": resid,
         "converged": resid <= opts.stall_accept,
         "dtau": out["dtau"],
@@ -477,14 +481,14 @@ def solve_steady_eon(
         J = J.at[:, ns, ns].set(J_TT)
         Js = J * D[None, None, :]
         A = jnp.eye(n, dtype=dtype) / dtau[:, None, None] - Js
-        fac = (
-            ns_refresh_state(prev_fac, A, ns_iters=opts.ns_iters,
-                             precision=opts.ns_precision,
-                             allow_rescue=(nref % opts.ns_rescue_every == 0))
-            if use_ns
-            else factorize(A)
-        )
-        return fac, jnp.diagonal(J_YY, axis1=1, axis2=2)
+        if use_ns:
+            fac, rescued = ns_refresh_state(
+                prev_fac, A, ns_iters=opts.ns_iters,
+                precision=opts.ns_precision,
+                allow_rescue=(nref % opts.ns_rescue_every == 0))
+        else:
+            fac, rescued = factorize(A), jnp.ones((), bool)
+        return fac, jnp.diagonal(J_YY, axis1=1, axis2=2), rescued
 
     def cond(state):
         return jnp.logical_and(state["it"] < opts.max_iters, ~jnp.all(state["done"]))
@@ -497,10 +501,10 @@ def solve_steady_eon(
             ),
             state["rejected"],
         )
-        fac, diagJ = jax.lax.cond(
+        fac, diagJ, rescued = jax.lax.cond(
             refresh,
             lambda args: build_fac(*args),
-            lambda args: (state["fac"], state["diagJ"]),
+            lambda args: (state["fac"], state["diagJ"], jnp.zeros((), bool)),
             (state["Y"], state["T"], state["dtau"], state["fac"], state["nref"]),
         )
         delta = (
@@ -568,6 +572,7 @@ def solve_steady_eon(
             "bad": jnp.where(done, state["bad"], bad_new),
             "it": state["it"] + 1,
             "nref": state["nref"] + refresh.astype(jnp.int32),
+            "nresc": state["nresc"] + rescued.astype(jnp.int32),
             "rejected": jnp.any(jnp.logical_and(~accept, ~done)),
             "done": jnp.logical_or(done, newly_done),
             "hascarry": state["hascarry"],
@@ -613,6 +618,7 @@ def solve_steady_eon(
         "bad": jnp.zeros((B,), jnp.int32),
         "it": jnp.zeros((), jnp.int32),
         "nref": jnp.zeros((), jnp.int32),
+        "nresc": jnp.zeros((), jnp.int32),
         "rejected": jnp.zeros((), bool),
         "done": jnp.zeros((B,), bool),
         "hascarry": (
@@ -625,6 +631,8 @@ def solve_steady_eon(
     resid = jnp.minimum(out["best"], out["gnorm"])
     return out["Ybest"], out["Tbest"], {
         "iterations": out["it"],
+        "jac_refreshes": out["nref"],
+        "prec_rescues": out["nresc"],
         "resid": resid,
         "converged": resid <= opts.stall_accept,
         "dtau": out["dtau"],

@@ -58,6 +58,12 @@ class PFRTrajectory:
     z: jax.Array  # (B, n+1) axial position [m]
     converged: jax.Array  # (B,) all segments converged
     newton_iters: jax.Array  # (n,) solver iterations per segment (diagnostics)
+    # (n,) Jacobian-build + preconditioner-refresh count per segment, and the
+    # subset that fell back to the column-sequential LU rescue. Together with
+    # newton_iters these determine the solve's matmul FLOPs exactly
+    # (bench.py pfr_flop_model), enabling achieved-FLOP/s / MFU accounting.
+    jac_refreshes: jax.Array
+    prec_rescues: jax.Array
     # (B,) worst per-segment residual in tolerance units (1.0 = converged to
     # rtol; stall-accepted lanes sit above 1). Drives the f64 rescue pass in
     # stage_simulate: only cases whose residual implies a real accuracy loss
@@ -178,10 +184,12 @@ def simulate_pfr(
         diagJ_next = info["diagJ"] if carry_jac else None
         hc_next = jnp.ones((), bool) if carry_jac else None
         return (Y, T, info["dtau"], info["fac"], diagJ_next, hc_next), (
-            Y, T, rho, t_r, u, info["converged"], info["iterations"], info["resid"]
+            Y, T, rho, t_r, u, info["converged"], info["iterations"],
+            info["jac_refreshes"], info["prec_rescues"], info["resid"]
         )
 
-    (Yf, Tf, dtau_f, _, _, _), (Ys, Ts, rhos, trs, us, convs, iters, resids) = jax.lax.scan(
+    (Yf, Tf, dtau_f, _, _, _), (Ys, Ts, rhos, trs, us, convs, iters, nrefs,
+                                nrescs, resids) = jax.lax.scan(
         segment,
         (Y_start, T_start, dtau_start, fac_start, diagJ_start, hc_start),
         None, length=n_steps,
@@ -208,6 +216,8 @@ def simulate_pfr(
         z=z,
         converged=jnp.all(convs, axis=0),
         newton_iters=iters,
+        jac_refreshes=nrefs,
+        prec_rescues=nrescs,
         max_resid=jnp.max(resids, axis=0),
     )
     if return_state:
@@ -294,6 +304,8 @@ def _stitch_windows(parts, length, n_steps):
     ts, Ts, Ys, rhos, us = [], [], [], [], []
     convs = []
     iters = []
+    nrefs = []
+    nrescs = []
     resids = []
     for i, p in enumerate(parts):
         sl = slice(None) if i == 0 else slice(1, None)
@@ -304,6 +316,8 @@ def _stitch_windows(parts, length, n_steps):
         us.append(np.asarray(p.u)[:, sl])
         convs.append(np.asarray(p.converged))
         iters.append(np.asarray(p.newton_iters))
+        nrefs.append(np.asarray(p.jac_refreshes))
+        nrescs.append(np.asarray(p.prec_rescues))
         resids.append(np.asarray(p.max_resid))
         t_off = t_off + np.asarray(p.t)[:, -1]
     n1 = n_steps + 1
@@ -318,5 +332,7 @@ def _stitch_windows(parts, length, n_steps):
         z=np.broadcast_to(z, (B, n1)).copy(),
         converged=np.logical_and.reduce(convs),
         newton_iters=np.concatenate(iters),
+        jac_refreshes=np.concatenate(nrefs),
+        prec_rescues=np.concatenate(nrescs),
         max_resid=np.maximum.reduce(resids),
     )

@@ -96,6 +96,11 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
                     precision=None, allow_rescue=True):
     """Newton-Schulz update of X toward A^-1, with LU rescue on divergence.
 
+    Returns (X, rescued): `rescued` is a traced bool recording whether the
+    column-sequential LU rescue fired (the expensive non-MXU kernel) -- the
+    callers thread it up to PFRTrajectory.prec_rescues for the FLOP/MFU
+    accounting in bench.py.
+
     `precision` is the matmul precision for the NS updates: a preconditioner
     only needs ~1 digit of quality (Richardson converges whenever
     ||I - A X|| < 1), so bf16-speed DEFAULT matmuls are admissible here even
@@ -128,7 +133,7 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
     soft = jnp.any(resid > bad_threshold)
     bad = hard | (soft & jnp.asarray(allow_rescue))
     X = jax.lax.cond(bad, lambda _: inverse_init(A), lambda _: X, None)
-    return X
+    return X, bad
 
 
 def precond_solve(X, A, b, iters: int = 3, precision=None):
@@ -161,7 +166,7 @@ def ns_init_state(B: int, n: int, dtype) -> NSInverse:
 
 
 def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None,
-                     allow_rescue=True) -> NSInverse:
+                     allow_rescue=True):
     """Re-equilibrate a new A and NS-update X (rescaled across scale changes).
 
     As_new^-1 = diag(c_old/c_new) As_old^-1 diag(r_old/r_new); starting from the
@@ -169,12 +174,13 @@ def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None,
     zero/diverged X triggers the in-refresh LU rescue automatically;
     `allow_rescue` (python or traced bool) can suppress the quality-based
     rescue for refreshes where a weaker preconditioner is acceptable.
+    Returns (NSInverse, rescued bool) -- see inverse_refresh.
     """
     As, r, c = equilibrate(A)
     X0 = st.X * (st.c / c)[:, :, None] * (st.r / r)[:, None, :]
-    X = inverse_refresh(X0, As, ns_iters=ns_iters, precision=precision,
-                        allow_rescue=allow_rescue)
-    return NSInverse(X=X, As=As, r=r, c=c)
+    X, rescued = inverse_refresh(X0, As, ns_iters=ns_iters, precision=precision,
+                                 allow_rescue=allow_rescue)
+    return NSInverse(X=X, As=As, r=r, c=c), rescued
 
 
 def ns_solve(st: NSInverse, b, iters: int = 3, precision=None):
