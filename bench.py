@@ -579,6 +579,10 @@ def main() -> None:
     if preempted:
         result["detail"]["preempted_job"] = preempted
     # second north-star metric (BASELINE.json): CRNN train steps/sec
+    # (skippable for PFR-only A/B experiments, e.g. the batch-scaling study)
+    if os.environ.get("HEXPYRO_BENCH_SKIP_TRAIN"):
+        print(json.dumps(result))
+        return
     try:
         tb = run_train_bench()
         result["crnn_train_steps_per_s"] = tb["steps_per_s"]

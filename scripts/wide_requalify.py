@@ -74,9 +74,17 @@ def main():
         # re-sweep must resume, not be archived (a partial dir was once moved
         # into BACKUP on restart, silently restarting the sweep from zero)
         if os.path.exists(cfg.dataset_dir) and not os.path.exists(BACKUP):
-            n_txt = len([f for f in os.listdir(cfg.dataset_dir)
-                         if f.endswith(".txt")])
-            if n_txt >= cfg.n_cases:
+            # completeness = every expected trajectory filename exists (a count
+            # of arbitrary *.txt could be fooled by stray notes/log files into
+            # archiving a partial sweep -- the silent-restart-from-zero failure
+            # this guard prevents)
+            complete = all(
+                os.path.exists(os.path.join(
+                    cfg.dataset_dir,
+                    artifacts.trajectory_case_filename("LLNL", False, k + 1)))
+                for k in range(cfg.n_cases)
+            )
+            if complete:
                 shutil.move(cfg.dataset_dir, BACKUP)
         stages.stage_simulate(cfg)
         z = np.load(f"{cfg.dataset_dir}/solver_diagnostics.npz")

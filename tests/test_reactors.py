@@ -175,9 +175,13 @@ class TestSolverVariants:
         P0 = jnp.array([1.5e5, 2.5e5])
         opts = default_steady_options(jnp.float32)
         for energy_on in (False, True):
+            # NB: the f32 default has carry_jacobian=True, so the baseline arm
+            # must explicitly force the per-segment refresh OFF (a base using
+            # the defaults verbatim would silently compare carry against carry)
             base = simulate_pfr(
                 jetsurf_dev, T0, P0, species_names=jetsurf.species_names,
-                n_steps=10, length=10 / 800.0, energy_on=energy_on, opts=opts,
+                n_steps=10, length=10 / 800.0, energy_on=energy_on,
+                opts=dataclasses.replace(opts, carry_jacobian=False),
             )
             carry = simulate_pfr(
                 jetsurf_dev, T0, P0, species_names=jetsurf.species_names,
@@ -187,6 +191,16 @@ class TestSolverVariants:
             assert bool(carry.converged.all())
             assert float(jnp.abs(carry.Y - base.Y).max()) < 5e-5
             assert float(jnp.abs(carry.T - base.T).max()) < 0.5
+            # FLOP-accounting counters (bench.py pfr_flop_model inputs): one
+            # refresh count and rescue count per segment, rescues <= refreshes,
+            # and carrying the Jacobian must strictly reduce refresh work
+            for tr in (base, carry):
+                refs = np.asarray(tr.jac_refreshes)
+                rescs = np.asarray(tr.prec_rescues)
+                assert refs.shape == np.asarray(tr.newton_iters).shape
+                assert (rescs <= refs).all() and (refs >= 0).all()
+            assert np.asarray(carry.jac_refreshes).sum() < np.asarray(
+                base.jac_refreshes).sum()
 
     def test_windowed_matches_monolithic(self, jetsurf, jetsurf_dev):
         from hexpyro.reactors.pfr import simulate_pfr_windowed
