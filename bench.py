@@ -318,7 +318,7 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
         **flops,
     }
     return {
-        "metric": "stiff PFR trajectories/sec per chip (NUIGMech1.1 2D LHS)",
+        "metric": f"stiff PFR trajectories/sec per chip ({mech_name} 2D LHS)",
         "value": round(traj_per_s, 5),
         "unit": "traj/s/chip",
         "vs_baseline": round(traj_per_s / CANTERA_BASELINE_TRAJ_PER_S, 2),
@@ -557,8 +557,9 @@ def main() -> None:
     preempted = _preempt_resumable_tpu_job()
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
     # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the
-    # Newton-Schulz-preconditioned solver (3.0 traj/s with carry_jacobian,
-    # 0.48 without; B=64 drops throughput)
+    # Newton-Schulz-preconditioned solver: round-4 scaling study (benchmarks/
+    # r4/) measured 2.67/2.38/1.70 traj/s at B=16/32/64 (refreshes/segment
+    # grow 2.5x with batch -- convergence heterogeneity), 0.48 without carry
     B = int(os.environ.get("HEXPYRO_BENCH_B", "16"))
     n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "800"))
     dtype_name = os.environ.get("HEXPYRO_BENCH_DTYPE", "f32")

@@ -153,8 +153,8 @@ def default_steady_options(dtype) -> "SteadyOptions":
         # nsinv: Newton-Schulz preconditioner carried across segments -- the
         # chain then averages ~1.1 Newton iterations/segment (golden cold-case
         # outlet 865.318 K vs Cantera 865.285 K). carry_jacobian additionally
-        # skips the forced per-segment Jacobian rebuild (measured 6.2x on the
-        # NUIG B=16 bench: 0.48 -> 3.0 traj/s, all lanes converged; f32-vs-f64
+        # skips the forced per-segment Jacobian rebuild (measured ~6x on the
+        # NUIG B=16 bench: 0.48 -> 2.7 traj/s, all lanes converged; f32-vs-f64
         # trajectory agreement unchanged, tests/test_reactors.py)
         # transient-fidelity phase stays ON (same as f64): measured on a
         # 16-case LLNL Eon TPU sweep at production dz = L/800 it costs zero
