@@ -182,7 +182,12 @@ def pfr_flop_model(iters, refs, rescues, *, B, ns, nr, n_sys, opts) -> dict:
     Each Jacobian/preconditioner refresh additionally pays:
       * the analytic Jacobian build (wdot_and_jacobian): the (nr,ns)x(c,nr,ns)
         contraction = 2*nr*ns^2 flops (dominant), + one rates eval;
-      * ns_iters Newton-Schulz steps of 2 matmuls each = 4*ns_iters*n^3.
+      * the NS pre-gate matmul E0 = I - A X0 (2*n^3), then EITHER the rest of
+        the ns_iters Newton-Schulz polish (2*ns_iters matmuls total including
+        the gate's) when the carry contracts, OR -- when the refresh is
+        rescued -- nothing further before the LU (inverse_refresh pre-gates
+        hopeless carries after the single gate matmul; measured: rescued
+        refreshes are hard failures, so they are charged gate-only).
     Each LU rescue of the preconditioner (inverse_init) is ~(2/3+2)*n^3.
     All counts are nominal f32 FLOPs (1 FMA = 2). Elementwise/gather work in
     rate constants and thermo is NOT counted beyond the 60*nr estimate, so
@@ -196,11 +201,14 @@ def pfr_flop_model(iters, refs, rescues, *, B, ns, nr, n_sys, opts) -> dict:
     rs = float(np.sum(rescues))
     nseg = int(np.asarray(iters).size)
     per_iter = (2 + 4 * opts.richardson_iters) * n_sys**2 + 8 * nr * ns + 60 * nr
-    per_ref = 2 * nr * ns**2 + 8 * nr * ns + 4 * opts.ns_iters * n_sys**3
+    per_ref_jac = 2 * nr * ns**2 + 8 * nr * ns
+    ns_full = 4 * opts.ns_iters * n_sys**3  # contracting-carry polish
+    ns_gate = 2 * n_sys**3  # pre-gated (rescued) refresh: one matmul
     per_rescue = (2.0 / 3.0 + 2.0) * n_sys**3
+    ns_flops = (rf - rs) * ns_full + rs * ns_gate
     # + one residual eval per segment (g0 before the loop)
     total = B * (
-        it * per_iter + rf * per_ref + rs * per_rescue
+        it * per_iter + rf * per_ref_jac + ns_flops + rs * per_rescue
         + nseg * (8 * nr * ns + 60 * nr)
     )
     return {
@@ -212,7 +220,7 @@ def pfr_flop_model(iters, refs, rescues, *, B, ns, nr, n_sys, opts) -> dict:
         "lu_rescues_total": rs,
         "flops_split": {
             "iterations": B * it * per_iter,
-            "jacobian+ns_refresh": B * rf * per_ref,
+            "jacobian+ns_refresh": B * (rf * per_ref_jac + ns_flops),
             "lu_rescues": B * rs * per_rescue,
         },
     }

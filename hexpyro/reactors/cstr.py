@@ -93,6 +93,12 @@ class SteadyOptions:
     # preconditioner quality (extra matmul-cheap Newton iterations) for fewer
     # column-sequential LUs. Non-finite X always rescues regardless of K.
     ns_rescue_every: int = 1
+    # panel width for the blocked right-looking LU used by the NS rescue
+    # (solvers/linalg.blocked_lu_factor): XLA's TPU LuDecomposition is
+    # column-sequential over all n columns, the measured dominant wall-time
+    # kernel; blocking factors `lu_panel`-wide panels sequentially and runs
+    # each trailing update as one MXU matmul. 0 = use XLA's LU unblocked.
+    lu_panel: int = 0
     jac_chunk: int = 8  # batch-chunking of the (chunk, nr, ns) Jacobian build
     # carry the Jacobian/preconditioner ACROSS segments: skip the forced
     # refresh at iteration 0 of a segment whose caller supplied a carried
@@ -255,7 +261,8 @@ def solve_steady_eoff(
             fac, rescued = ns_refresh_state(
                 prev_fac, A, ns_iters=opts.ns_iters,
                 precision=opts.ns_precision,
-                allow_rescue=(nref % opts.ns_rescue_every == 0))
+                allow_rescue=(nref % opts.ns_rescue_every == 0),
+                lu_panel=opts.lu_panel)
         else:
             fac, rescued = factorize(A), jnp.ones((), bool)  # LU path: every refresh is an LU
         return fac, jnp.diagonal(J, axis1=1, axis2=2), rescued
@@ -485,7 +492,8 @@ def solve_steady_eon(
             fac, rescued = ns_refresh_state(
                 prev_fac, A, ns_iters=opts.ns_iters,
                 precision=opts.ns_precision,
-                allow_rescue=(nref % opts.ns_rescue_every == 0))
+                allow_rescue=(nref % opts.ns_rescue_every == 0),
+                lu_panel=opts.lu_panel)
         else:
             fac, rescued = factorize(A), jnp.ones((), bool)
         return fac, jnp.diagonal(J_YY, axis1=1, axis2=2), rescued

@@ -84,16 +84,74 @@ def batched_solve(A, b, refine_iters: int | None = None):
 # reinitialized from a true (slow) LU inverse under a lax.cond.
 
 
-def inverse_init(A):
-    """True inverse via LU (slow; used to seed / rescue the NS inverse)."""
+def blocked_lu_factor(A, panel: int = 128):
+    """Right-looking blocked LU with panel partial pivoting, batched f32.
+
+    XLA's TPU LuDecomposition is column-sequential over all n columns; at
+    mechanism sizes (n ~ 650-925) it is the dominant wall-time kernel of the
+    whole reactor solve. This factors `panel`-wide column blocks with the
+    sequential kernel (depth `panel` instead of n) and applies each trailing
+    update as ONE big MXU matmul, the classic LAPACK getrf blocking.
+
+    Pivoting is PANEL partial pivoting (rows are selected within the trailing
+    rows of the current panel only -- exactly what LAPACK does), so the
+    factorization is elementwise-comparable to lu_factor up to the usual
+    tie-breaking. Returns (lu, piv) in `jax.scipy.linalg.lu_factor` format
+    (combined L\\U in one matrix, piv[i] = row swapped with i, 0-based), so
+    `lu_solve`/`solve_factored` consume it unchanged.
+    """
+    B, n, _ = A.shape
+    lu = A.astype(jnp.float32)
+    piv_parts = []
+    for m0 in range(0, n, panel):  # static python loop: unrolled under jit
+        b = min(panel, n - m0)
+        P = lu[:, m0:, m0 : m0 + b]
+        lu_p, piv_p, perm_p = jax.lax.linalg.lu(P)
+        piv_parts.append(m0 + piv_p)
+        # apply the panel's row permutation to the other columns of the
+        # trailing rows (left: already-computed L columns; right: untouched)
+        if m0:
+            left = jnp.take_along_axis(
+                lu[:, m0:, :m0], perm_p[:, :, None], axis=1
+            )
+            lu = lu.at[:, m0:, :m0].set(left)
+        lu = lu.at[:, m0:, m0 : m0 + b].set(lu_p)
+        if m0 + b < n:
+            right = jnp.take_along_axis(
+                lu[:, m0:, m0 + b :], perm_p[:, :, None], axis=1
+            )
+            # U12 = L11^-1 A12 (unit-lower triangular solve, b x b)
+            U12 = jax.lax.linalg.triangular_solve(
+                lu_p[:, :b, :], right[:, :b, :], left_side=True, lower=True,
+                unit_diagonal=True,
+            )
+            # trailing update A22 -= L21 @ U12: the MXU matmul that carries
+            # almost all of the factorization's FLOPs
+            A22 = right[:, b:, :] - jnp.matmul(
+                lu_p[:, b:, :], U12, preferred_element_type=jnp.float32
+            )
+            lu = lu.at[:, m0 : m0 + b, m0 + b :].set(U12)
+            lu = lu.at[:, m0 + b :, m0 + b :].set(A22)
+    return lu, jnp.concatenate(piv_parts, axis=1)
+
+
+def inverse_init(A, lu_panel: int = 0):
+    """True inverse via LU (slow; used to seed / rescue the NS inverse).
+
+    lu_panel > 0 routes the factorization through `blocked_lu_factor` (panel
+    width = lu_panel) instead of XLA's column-sequential LuDecomposition.
+    """
     B, n, _ = A.shape
     eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (B, n, n))
-    lu, piv = jax.scipy.linalg.lu_factor(A.astype(jnp.float32))
+    if lu_panel and n > lu_panel:
+        lu, piv = blocked_lu_factor(A, panel=lu_panel)
+    else:
+        lu, piv = jax.scipy.linalg.lu_factor(A.astype(jnp.float32))
     return jax.scipy.linalg.lu_solve((lu, piv), eye).astype(A.dtype)
 
 
 def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
-                    precision=None, allow_rescue=True):
+                    precision=None, allow_rescue=True, lu_panel: int = 0):
     """Newton-Schulz update of X toward A^-1, with LU rescue on divergence.
 
     Returns (X, rescued): `rescued` is a traced bool recording whether the
@@ -106,34 +164,63 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
     ||I - A X|| < 1), so bf16-speed DEFAULT matmuls are admissible here even
     though the kinetics path requires HIGHEST (see bench.py) -- convergence is
     always declared on the exact residual computed outside this module.
+
+    The quality of the INCOMING X is gated BEFORE the NS updates run: NS
+    contracts iff ||I - A X||_inf < 1 (||E_{k+1}|| <= ||E_k||^2 in any
+    submultiplicative norm), so when the carried inverse is formally divergent
+    no amount of polishing can save it and the LU rescue is reached after ONE
+    matmul instead of 2*ns_iters. The round-4 instrumented bench measured this
+    as the dominant refresh regime (77/77 NUIG, 69/69 JetSurf, 918/918 LLNL
+    refreshes were hard failures; a ns_iters=6 A/B bought 47% more FLOP/s for
+    9% LESS throughput), so the pre-gate removes ~3/4 of the refresh-path NS
+    matmul work in practice while leaving the contracting case untouched: a
+    healthy carry pays exactly the same 2*ns_iters matmuls as before (the
+    gate's E0 doubles as the first step's error term).
     """
     B, n, _ = A.shape
     eye = jnp.eye(n, dtype=A.dtype)
 
-    def ns_step(X):
-        E = eye - jnp.matmul(A, X, precision=precision,
-                             preferred_element_type=A.dtype)
-        return X + jnp.matmul(X, E, precision=precision,
-                              preferred_element_type=A.dtype), E
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=precision,
+                          preferred_element_type=A.dtype)
 
-    for _ in range(ns_iters):
-        X, E = ns_step(X)
-    # TRUE induced infinity norm ||I - A X||_inf (max abs row sum): Richardson
-    # converges iff this is < 1. An earlier max|E|*n bound overestimated by up
-    # to n and made the LU rescue fire on virtually EVERY refresh at NUIG size
-    # (traced on v5e: 124/124 refreshes ran the column-sequential LU), hiding
-    # the whole point of the matmul-only path.
-    resid = jnp.max(jnp.sum(jnp.abs(E), axis=2), axis=1)
-    # hard failure (always rescue): non-finite X, or resid >= 1 where both NS
-    # and Richardson are formally divergent (a zero/fresh X gives resid == 1);
-    # soft failure (rescue only when `allow_rescue`): the quality band between
-    # bad_threshold and 1, where Richardson still contracts, just slowly --
-    # suppressing those rescues trades Newton iterations for LU kernels
-    hard = jnp.any(~jnp.isfinite(resid)) | jnp.any(resid >= 1.0)
-    soft = jnp.any(resid > bad_threshold)
-    bad = hard | (soft & jnp.asarray(allow_rescue))
-    X = jax.lax.cond(bad, lambda _: inverse_init(A), lambda _: X, None)
-    return X, bad
+    def inf_norm(E):
+        # TRUE induced infinity norm ||I - A X||_inf (max abs row sum):
+        # Richardson converges iff this is < 1. An earlier max|E|*n bound
+        # overestimated by up to n and made the LU rescue fire on virtually
+        # EVERY refresh at NUIG size, hiding the point of the matmul-only path.
+        return jnp.max(jnp.sum(jnp.abs(E), axis=2), axis=1)
+
+    E0 = eye - mm(A, X)
+    resid0 = inf_norm(E0)
+    # hard failure (always rescue, and skip the NS steps entirely): non-finite
+    # X, or resid >= 1 where both NS and Richardson are formally divergent (a
+    # zero/fresh X gives resid == 1)
+    hopeless = jnp.any(~jnp.isfinite(resid0)) | jnp.any(resid0 >= 1.0)
+
+    def rescue(_):
+        return inverse_init(A, lu_panel=lu_panel), jnp.ones((), bool)
+
+    def polish(_):
+        X1, E = X + mm(X, E0), E0
+        for _ in range(ns_iters - 1):
+            E = eye - mm(A, X1)
+            X1 = X1 + mm(X1, E)
+        # soft failure (rescue only when `allow_rescue`): post-polish quality
+        # in the band between bad_threshold and 1, where Richardson still
+        # contracts, just slowly -- suppressing those rescues trades Newton
+        # iterations for LU kernels. Gate semantics match the pre-gate-less
+        # version: the quality of X_{k-1} (last computed E) accepts X_k.
+        soft = jnp.any(inf_norm(E) > bad_threshold) & jnp.asarray(allow_rescue)
+        return (
+            jax.lax.cond(
+                soft, lambda _: inverse_init(A, lu_panel=lu_panel),
+                lambda _: X1, None,
+            ),
+            soft,
+        )
+
+    return jax.lax.cond(hopeless, rescue, polish, None)
 
 
 def precond_solve(X, A, b, iters: int = 3, precision=None):
@@ -166,7 +253,7 @@ def ns_init_state(B: int, n: int, dtype) -> NSInverse:
 
 
 def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None,
-                     allow_rescue=True):
+                     allow_rescue=True, lu_panel: int = 0):
     """Re-equilibrate a new A and NS-update X (rescaled across scale changes).
 
     As_new^-1 = diag(c_old/c_new) As_old^-1 diag(r_old/r_new); starting from the
@@ -179,7 +266,7 @@ def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None,
     As, r, c = equilibrate(A)
     X0 = st.X * (st.c / c)[:, :, None] * (st.r / r)[:, None, :]
     X, rescued = inverse_refresh(X0, As, ns_iters=ns_iters, precision=precision,
-                                 allow_rescue=allow_rescue)
+                                 allow_rescue=allow_rescue, lu_panel=lu_panel)
     return NSInverse(X=X, As=As, r=r, c=c), rescued
 
 
