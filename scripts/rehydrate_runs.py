@@ -67,6 +67,12 @@ MAP = {
         ("weights_NUIGMech1.1_4D_time_on.npz", "runs/flagship_nuig_eon/time_mlp/"),
         ("min_max_NUIGMech1.1_4D_time_on.pkl", "runs/flagship_nuig_eon/time_mlp/"),
     ],
+    "examples/flagship_llnl_4d_eoff": [
+        # reference-exact C15: LLNL Eoff variable-geometry (seed-13895 4D
+        # sweep) time-MLP (round-4 delivery)
+        ("weights_LLNL_4D_time_off.npz", "runs/mlp4d_llnl_off/time_mlp/"),
+        ("min_max_LLNL_4D_time_off.pkl", "runs/mlp4d_llnl_off/time_mlp/"),
+    ],
     "examples/validation_4d_container": [
         ("sampling_case_4D.csv", "runs/validation_4d/"),
         # LLNL Eon variable-geometry (seed-13895 4D sweep) time-MLP — the
