@@ -82,11 +82,19 @@ def wdot(T, P, C, arr: MechanismArrays):
     return (Rf - Rr) @ arr.nu_net
 
 
-def wdot_and_jacobian(T, P, C, arr: MechanismArrays, chunk: int = 8):
+def wdot_and_jacobian(T, P, C, arr: MechanismArrays, chunk: int = 8,
+                      precision=None):
     """wdot and its analytic concentration Jacobian d(wdot_k)/d(C_i).
 
     Returns (wdot (B, ns), J (B, ns, ns)). See module docstring for the
     approximation made in the third-body/falloff terms.
+
+    `precision` sets the matmul precision of the (nr, ns)-contraction einsums
+    -- the FLOP-dominant kernels of the whole refresh path. None inherits the
+    global default (the solvers run under "highest": true f32 via 6 bf16 MXU
+    passes). "default" (1 bf16 pass) is admissible in principle because J only
+    conditions the Newton direction -- residuals always use the exact wdot --
+    at the risk of extra Newton iterations from the poorer direction.
     """
     Rf, Rr = rates_of_progress(T, P, C, arr)
     w = (Rf - Rr) @ arr.nu_net
@@ -105,13 +113,14 @@ def wdot_and_jacobian(T, P, C, arr: MechanismArrays, chunk: int = 8):
         sf = Rf_c[:, :, None] * arr.nu_r  # d(ln act_f)/d(ln C) weights
         sr = Rr_c[:, :, None] * arr.nu_p
         Jc = jnp.einsum(
-            "jk,cji->cki", arr.nu_net, sf - sr, preferred_element_type=arr.dtype
+            "jk,cji->cki", arr.nu_net, sf - sr,
+            preferred_element_type=arr.dtype, precision=precision,
         )
         Jc = Jc * invC_c[:, None, :]
         # [M]-sensitivity of three-body / falloff rates
         Jc = Jc + jnp.einsum(
             "jk,cji->cki", nu_aux, qa_c[:, :, None] * da_c,
-            preferred_element_type=arr.dtype,
+            preferred_element_type=arr.dtype, precision=precision,
         )
         return Jc
 

@@ -99,6 +99,11 @@ class SteadyOptions:
     # kernel; blocking factors `lu_panel`-wide panels sequentially and runs
     # each trailing update as one MXU matmul. 0 = use XLA's LU unblocked.
     lu_panel: int = 0
+    # factorization used by the NS rescue's explicit inverse: "lu" (f32 LU +
+    # two triangular n-RHS solves) or "qr" (Householder QR + ONE triangular
+    # solve, R^-1 Q^T -- measured 18.0 vs 20.3 ms at (16, 924, 924) in-graph,
+    # scripts/rescue_kernel_micro2.py, and unconditionally stable).
+    rescue_kind: str = "lu"
     jac_chunk: int = 8  # batch-chunking of the (chunk, nr, ns) Jacobian build
     # carry the Jacobian/preconditioner ACROSS segments: skip the forced
     # refresh at iteration 0 of a segment whose caller supplied a carried
@@ -114,6 +119,13 @@ class SteadyOptions:
     # NUIG B=16: 0.456 traj/s vs 0.481 at "highest" (the cheaper matmuls are
     # offset by extra Newton iterations from the poorer preconditioner)
     ns_precision: str = "highest"
+    # matmul precision of the analytic Jacobian build's (nr, ns) contractions
+    # (wdot_and_jacobian) -- the FLOP-dominant refresh kernel. None inherits
+    # the global default ("highest" in production: 6 bf16 MXU passes);
+    # "default" (1 pass) is admissible in principle since J only conditions
+    # the Newton direction (residuals use the exact wdot), at the risk of
+    # extra iterations. Opt-in pending the TPU A/B.
+    jac_precision: str | None = None
     T_min: float = 250.0
     T_max: float = 3500.0
     dT_max: float = 150.0  # per-Newton-step temperature trust region [K]
@@ -197,7 +209,8 @@ def _rhs_eon(Y, T, P0, Y_in, h_in, mdot_over_V, arr: MechanismArrays):
     return gY, gT
 
 
-def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays, chunk: int = 8):
+def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays, chunk: int = 8,
+            precision=None):
     """Approximate d(dY/dt)/dY: exact wdot Jacobian + ideal-gas C(Y) chain rule.
 
     C_i = rho Y_i / W_i with rho = P Wbar/(R T), dC_i/dY_m = rho delta/W_i
@@ -205,7 +218,7 @@ def _jac_YY(T, P0, Y, mdot_over_V, arr: MechanismArrays, chunk: int = 8):
     """
     rho = nasa7.density(T, P0, Y, arr.mw)
     C = rho[:, None] * Y / arr.mw
-    w, Jw = wdot_and_jacobian(T, P0, C, arr, chunk=chunk)
+    w, Jw = wdot_and_jacobian(T, P0, C, arr, chunk=chunk, precision=precision)
     wbar = nasa7.mean_molecular_weight(Y, arr.mw)
     inv_rho = 1.0 / rho
     flow = mdot_over_V * inv_rho  # (B,)
@@ -255,14 +268,15 @@ def solve_steady_eoff(
     use_ns = opts.linear_solver == "nsinv"
 
     def build_fac(Y, dtau, prev_fac, nref):
-        J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk)
+        J, rho, C, w = _jac_YY(T0, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk,
+                               precision=opts.jac_precision)
         A = jnp.eye(ns, dtype=dtype) / dtau[:, None, None] - J
         if use_ns:
             fac, rescued = ns_refresh_state(
                 prev_fac, A, ns_iters=opts.ns_iters,
                 precision=opts.ns_precision,
                 allow_rescue=(nref % opts.ns_rescue_every == 0),
-                lu_panel=opts.lu_panel)
+                lu_panel=opts.lu_panel, rescue_kind=opts.rescue_kind)
         else:
             fac, rescued = factorize(A), jnp.ones((), bool)  # LU path: every refresh is an LU
         return fac, jnp.diagonal(J, axis1=1, axis2=2), rescued
@@ -451,7 +465,8 @@ def solve_steady_eon(
     use_ns = opts.linear_solver == "nsinv"
 
     def build_fac(Y, T, dtau, prev_fac, nref):
-        J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk)
+        J_YY, rho, C, w = _jac_YY(T, P0, Y, mdot_over_V, arr, chunk=opts.jac_chunk,
+                                  precision=opts.jac_precision)
         inv_rho = 1.0 / rho
         flow = mdot_over_V * inv_rho
         gY = flow[:, None] * (Y_in - Y) + w * arr.mw * inv_rho[:, None]
@@ -493,7 +508,7 @@ def solve_steady_eon(
                 prev_fac, A, ns_iters=opts.ns_iters,
                 precision=opts.ns_precision,
                 allow_rescue=(nref % opts.ns_rescue_every == 0),
-                lu_panel=opts.lu_panel)
+                lu_panel=opts.lu_panel, rescue_kind=opts.rescue_kind)
         else:
             fac, rescued = factorize(A), jnp.ones((), bool)
         return fac, jnp.diagonal(J_YY, axis1=1, axis2=2), rescued

@@ -135,13 +135,27 @@ def blocked_lu_factor(A, panel: int = 128):
     return lu, jnp.concatenate(piv_parts, axis=1)
 
 
-def inverse_init(A, lu_panel: int = 0):
-    """True inverse via LU (slow; used to seed / rescue the NS inverse).
+def inverse_init(A, lu_panel: int = 0, kind: str = "lu"):
+    """True inverse (slow; used to seed / rescue the NS inverse).
 
-    lu_panel > 0 routes the factorization through `blocked_lu_factor` (panel
-    width = lu_panel) instead of XLA's column-sequential LuDecomposition.
+    kind="lu": f32 LU + two triangular n-RHS solves against I. In-graph
+    microbenchmark at (16, 924, 924) on v5e: 12.5 ms factor + 7.8 ms inverse
+    formation (scripts/rescue_kernel_micro2.py).
+
+    kind="qr": f32 Householder QR, inverse = R^-1 Q^T -- ONE triangular n-RHS
+    solve (Q^T is a free transpose). Measured 18.0 ms vs LU's 20.3 ms at the
+    same shape; also unconditionally stable (no pivot growth).
+
+    lu_panel > 0 routes the LU through `blocked_lu_factor` (panel width =
+    lu_panel) instead of XLA's column-sequential LuDecomposition -- measured
+    NOT faster (the TPU LU is latency-bound), kept for A/B.
     """
     B, n, _ = A.shape
+    if kind == "qr":
+        q, r = jnp.linalg.qr(A.astype(jnp.float32))
+        return jax.lax.linalg.triangular_solve(
+            r, jnp.swapaxes(q, 1, 2), left_side=True, lower=False
+        ).astype(A.dtype)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (B, n, n))
     if lu_panel and n > lu_panel:
         lu, piv = blocked_lu_factor(A, panel=lu_panel)
@@ -151,7 +165,8 @@ def inverse_init(A, lu_panel: int = 0):
 
 
 def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
-                    precision=None, allow_rescue=True, lu_panel: int = 0):
+                    precision=None, allow_rescue=True, lu_panel: int = 0,
+                    rescue_kind: str = "lu"):
     """Newton-Schulz update of X toward A^-1, with LU rescue on divergence.
 
     Returns (X, rescued): `rescued` is a traced bool recording whether the
@@ -199,7 +214,10 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
     hopeless = jnp.any(~jnp.isfinite(resid0)) | jnp.any(resid0 >= 1.0)
 
     def rescue(_):
-        return inverse_init(A, lu_panel=lu_panel), jnp.ones((), bool)
+        return (
+            inverse_init(A, lu_panel=lu_panel, kind=rescue_kind),
+            jnp.ones((), bool),
+        )
 
     def polish(_):
         X1, E = X + mm(X, E0), E0
@@ -214,7 +232,8 @@ def inverse_refresh(X, A, ns_iters: int = 2, bad_threshold: float = 0.9,
         soft = jnp.any(inf_norm(E) > bad_threshold) & jnp.asarray(allow_rescue)
         return (
             jax.lax.cond(
-                soft, lambda _: inverse_init(A, lu_panel=lu_panel),
+                soft,
+                lambda _: inverse_init(A, lu_panel=lu_panel, kind=rescue_kind),
                 lambda _: X1, None,
             ),
             soft,
@@ -253,7 +272,8 @@ def ns_init_state(B: int, n: int, dtype) -> NSInverse:
 
 
 def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None,
-                     allow_rescue=True, lu_panel: int = 0):
+                     allow_rescue=True, lu_panel: int = 0,
+                     rescue_kind: str = "lu"):
     """Re-equilibrate a new A and NS-update X (rescaled across scale changes).
 
     As_new^-1 = diag(c_old/c_new) As_old^-1 diag(r_old/r_new); starting from the
@@ -266,7 +286,8 @@ def ns_refresh_state(st: NSInverse, A, ns_iters: int = 2, precision=None,
     As, r, c = equilibrate(A)
     X0 = st.X * (st.c / c)[:, :, None] * (st.r / r)[:, None, :]
     X, rescued = inverse_refresh(X0, As, ns_iters=ns_iters, precision=precision,
-                                 allow_rescue=allow_rescue, lu_panel=lu_panel)
+                                 allow_rescue=allow_rescue, lu_panel=lu_panel,
+                                 rescue_kind=rescue_kind)
     return NSInverse(X=X, As=As, r=r, c=c), rescued
 
 

@@ -146,6 +146,21 @@ class TestBlockedLU:
         err = jnp.max(jnp.abs(jnp.matmul(A, X) - jnp.eye(96)))
         assert float(err) < 1e-3
 
+    def test_inverse_init_qr(self):
+        A = _wellcond(B=2, n=200, seed=5)
+        Xq = linalg.inverse_init(A, kind="qr")
+        err = jnp.max(jnp.abs(jnp.matmul(A, Xq) - jnp.eye(200)))
+        assert float(err) < 1e-3
+
+    def test_refresh_with_qr_rescue(self):
+        A = _wellcond(B=2, n=96, seed=6)
+        X, rescued = linalg.inverse_refresh(
+            jnp.zeros_like(A), A, rescue_kind="qr"
+        )
+        assert bool(rescued)
+        err = jnp.max(jnp.abs(jnp.matmul(A, X) - jnp.eye(96)))
+        assert float(err) < 1e-3
+
 
 class TestNsStateRoundtrip:
     def test_refresh_then_solve(self):
