@@ -1,0 +1,45 @@
+#!/bin/bash
+# Round-4 A/B, part 4: interleaved repeats to separate CONFIG effect from
+# SESSION variance. Part-3 measured identical Newton/refresh counters but 3x
+# wall differences (b16_pregate 5.65 s vs ab3_jacdef 15.15 s with ~equal op
+# counts), so single-shot arms cannot rank configs on this shared-tunnel chip.
+# Arms run A,B,C,D interleaved x3 reps; all graphs are in the persistent XLA
+# cache after rep 1, so reps 2-3 are cheap. rescue_kind=qr is run ONCE, LAST:
+# part 3 showed every qr-containing arm faults the TPU (UNAVAILABLE on both
+# attempts and on the smaller retry, while lu arms before/after were fine),
+# so it is quarantined to confirm determinism without polluting other arms.
+#
+# Usage: nohup bash scripts/round4_ab4.sh > /tmp/round4_ab4.log 2>&1 &
+set -u
+LOCK=/tmp/hexpyro_tpu_queue.lock
+cd /root/repo
+until mkdir "$LOCK" 2>/dev/null; do sleep 60; done
+trap 'rmdir "$LOCK"' EXIT
+mkdir -p runs/bench_r4
+
+run_arm() {  # run_arm <outfile> <opts-json-or-empty>
+  local out=$1 opts=$2
+  echo "=== [$out] start ($(date +%T)) opts=$opts"
+  if [ -n "$opts" ]; then
+    env HEXPYRO_BENCH_SKIP_TRAIN=1 HEXPYRO_BENCH_OPTS="$opts" \
+      python bench.py > "runs/bench_r4/$out" 2>>/tmp/round4_ab4_err.log
+  else
+    env HEXPYRO_BENCH_SKIP_TRAIN=1 \
+      python bench.py > "runs/bench_r4/$out" 2>>/tmp/round4_ab4_err.log
+  fi
+  grep -q '"value"' "runs/bench_r4/$out" \
+    && echo "=== [$out] OK ($(date +%T))" \
+    || echo "=== [$out] FAILED ($(date +%T)) -- continuing"
+}
+
+for rep in 1 2 3; do
+  run_arm "ab4_base_r$rep.json"   ''
+  run_arm "ab4_jacdef_r$rep.json" '{"jac_precision": "default"}'
+  run_arm "ab4_rich2_r$rep.json"  '{"richardson_iters": 2}'
+  run_arm "ab4_p128_r$rep.json"   '{"lu_panel": 128}'
+done
+
+# quarantined: confirm the qr-rescue TPU fault is deterministic (single shot)
+run_arm "ab4_qr_quarantine.json" '{"rescue_kind": "qr"}'
+
+echo "=== round-4 A/B part 4 complete ($(date +%T))"
