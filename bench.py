@@ -226,6 +226,28 @@ def pfr_flop_model(iters, refs, rescues, *, B, ns, nr, n_sys, opts) -> dict:
     }
 
 
+def seed_compile_cache(cache_dir: str) -> int:
+    """Seed `cache_dir` from the checked-in official-config TPU cache
+    (benchmarks/bench_cache/, captured via scripts/capture_bench_cache.sh) so
+    a fresh VM's first driver bench run skips the ~200 s PFR-graph compile.
+    Entries are keyed by jax/XLA version + device + options; stale ones are
+    ignored and recompiled, so drift is harmless. Copy-if-missing; returns
+    the number of entries copied."""
+    import shutil
+
+    os.makedirs(cache_dir, exist_ok=True)
+    seed_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bench_cache")
+    copied = 0
+    if os.path.isdir(seed_dir):
+        for f in os.listdir(seed_dir):
+            dst = os.path.join(cache_dir, f)
+            if not os.path.exists(dst):
+                shutil.copy(os.path.join(seed_dir, f), dst)
+                copied += 1
+    return copied
+
+
 def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
         compile_only: bool = False) -> dict:
     os.environ.setdefault("HEXPYRO_CACHE", "/root/.cache/hexpyro")
@@ -235,8 +257,8 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
     # TPU MXU f32 matmuls default to bf16 multi-pass; the kinetics log-space
     # activities need true f32 accumulation or residuals plateau above tol
     jax.config.update("jax_default_matmul_precision", "highest")
-    cache_dir = "/root/.cache/jax_compile"
-    os.makedirs(cache_dir, exist_ok=True)
+    cache_dir = os.environ.get("HEXPYRO_XLA_CACHE", "/root/.cache/jax_compile")
+    seed_compile_cache(cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
@@ -572,11 +594,15 @@ def main() -> None:
     n_steps = int(os.environ.get("HEXPYRO_BENCH_STEPS", "800"))
     dtype_name = os.environ.get("HEXPYRO_BENCH_DTYPE", "f32")
     if "--warm" in sys.argv:
-        # populate the persistent XLA cache for the official config (and the
-        # train bench) without a timed run, so driver runs stop paying the
-        # bench graph's first compile
+        # populate the persistent XLA cache for the official config AND the
+        # train bench without a timed headline run, so driver runs stop
+        # paying the bench graphs' first compile
         out = run(B, n_steps, mech_name, dtype_name, compile_only=True)
         out["warmed"] = True
+        try:
+            out["train_compile_s"] = run_train_bench()["compile_s"]
+        except Exception as e:
+            sys.stderr.write(f"train warm failed: {type(e).__name__}: {e}\n")
         print(json.dumps(out))
         return
     try:

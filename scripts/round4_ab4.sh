@@ -20,11 +20,13 @@ mkdir -p runs/bench_r4
 run_arm() {  # run_arm <outfile> <opts-json-or-empty>
   local out=$1 opts=$2
   echo "=== [$out] start ($(date +%T)) opts=$opts"
+  # timeout: a cold compile+run is ~5 min; a futex-hung device call (observed
+  # on the first part-4 arm, 11 min silent) must not stall the queue
   if [ -n "$opts" ]; then
-    env HEXPYRO_BENCH_SKIP_TRAIN=1 HEXPYRO_BENCH_OPTS="$opts" \
+    timeout 900 env HEXPYRO_BENCH_SKIP_TRAIN=1 HEXPYRO_BENCH_OPTS="$opts" \
       python bench.py > "runs/bench_r4/$out" 2>>/tmp/round4_ab4_err.log
   else
-    env HEXPYRO_BENCH_SKIP_TRAIN=1 \
+    timeout 900 env HEXPYRO_BENCH_SKIP_TRAIN=1 \
       python bench.py > "runs/bench_r4/$out" 2>>/tmp/round4_ab4_err.log
   fi
   grep -q '"value"' "runs/bench_r4/$out" \
