@@ -3,17 +3,22 @@
 # SESSION variance. Part-3 measured identical Newton/refresh counters but 3x
 # wall differences (b16_pregate 5.65 s vs ab3_jacdef 15.15 s with ~equal op
 # counts), so single-shot arms cannot rank configs on this shared-tunnel chip.
-# Arms run A,B,C,D interleaved x3 reps; all graphs are in the persistent XLA
-# cache after rep 1, so reps 2-3 are cheap. rescue_kind=qr is run ONCE, LAST:
-# part 3 showed every qr-containing arm faults the TPU (UNAVAILABLE on both
-# attempts and on the smaller retry, while lu arms before/after were fine),
-# so it is quarantined to confirm determinism without polluting other arms.
+#
+# Trimmed from the original 4-config x3 + qr plan after the VM reset wiped the
+# persistent XLA cache: each distinct graph now pays a full recompile, so the
+# arms are the two AMBIGUOUS configs (jacdef, rich2 -- identical counters,
+# 3x wall in part 3) interleaved with base x3 reps. Dropped: lu_panel=128
+# (part 3 already measured a large, mechanistically-explained 2.8x regression,
+# benchmarks/r4/ab2_p128.json) and the rescue_kind=qr quarantine (every
+# qr-containing part-3 arm faulted the TPU UNAVAILABLE; deliberately faulting
+# the chip minutes before the driver's round-end bench is not worth the
+# determinism datum).
 #
 # Usage: nohup bash scripts/round4_ab4.sh > /tmp/round4_ab4.log 2>&1 &
 set -u
 LOCK=/tmp/hexpyro_tpu_queue.lock
 cd /root/repo
-until mkdir "$LOCK" 2>/dev/null; do sleep 60; done
+until mkdir "$LOCK" 2>/dev/null; do sleep 30; done
 trap 'rmdir "$LOCK"' EXIT
 mkdir -p runs/bench_r4
 
@@ -38,10 +43,6 @@ for rep in 1 2 3; do
   run_arm "ab4_base_r$rep.json"   ''
   run_arm "ab4_jacdef_r$rep.json" '{"jac_precision": "default"}'
   run_arm "ab4_rich2_r$rep.json"  '{"richardson_iters": 2}'
-  run_arm "ab4_p128_r$rep.json"   '{"lu_panel": 128}'
 done
-
-# quarantined: confirm the qr-rescue TPU fault is deterministic (single shot)
-run_arm "ab4_qr_quarantine.json" '{"rescue_kind": "qr"}'
 
 echo "=== round-4 A/B part 4 complete ($(date +%T))"
