@@ -248,17 +248,78 @@ def seed_compile_cache(cache_dir: str) -> int:
     return copied
 
 
+def _cache_snapshot(cache_dir: str) -> dict:
+    """Persistent-cache state: {filename: size} for entries >= 1 MB (the big
+    PFR-graph executables; small scan/add entries are noise)."""
+    out = {}
+    try:
+        for f in os.listdir(cache_dir):
+            sz = os.path.getsize(os.path.join(cache_dir, f))
+            if sz >= 1_000_000:
+                out[f] = sz
+    except OSError:
+        pass
+    return out
+
+
+def repeat_stats(times: list[float]) -> dict:
+    """best/median/spread summary of repeated wall timings.
+
+    spread = (max - min) / median: 0.04 means a 4% envelope; the documented
+    PFR slow mode shows up either as a uniformly ~2.65x-slower median (all
+    repeats slow -- needs the fast-reference comparison to detect) or as a
+    bimodal set (large spread)."""
+    import numpy as np
+
+    t = sorted(float(x) for x in times)
+    med = float(np.median(t))
+    return {
+        "times_s": [round(x, 3) for x in times],
+        "best_s": round(t[0], 3),
+        "median_s": round(med, 3),
+        "spread": round((t[-1] - t[0]) / med, 4) if med > 0 else None,
+    }
+
+
+# Fast-mode reference wall time of the OFFICIAL config (NUIG B=16, 800
+# segments): every healthy session in rounds 2-4 measured 5.4-6.6 s
+# (benchmarks/r4/*.json); the documented slow mode runs the SAME executable
+# counters ~2.65x slower (15.1-15.8 s). A median repeat above
+# FAST_REF * SLOW_FACTOR triggers one 60 s cool-down + re-measure so a single
+# slow-mode session cannot silently become the round's official number.
+OFFICIAL_FAST_REF_ELAPSED_S = 6.6
+SLOW_MODE_FACTOR = 1.6
+
+
+def measure_repeats(compiled, args, k: int):
+    """K timed executions; returns (times, last_output)."""
+    import jax
+
+    times, out = [], None
+    for _ in range(k):
+        t0 = time.time()
+        out = jax.block_until_ready(compiled(*args))
+        times.append(time.time() - t0)
+    return times, out
+
+
 def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
         compile_only: bool = False) -> dict:
     os.environ.setdefault("HEXPYRO_CACHE", "/root/.cache/hexpyro")
+    import hashlib
+
     import jax
 
+    # NB: JAX_PLATFORMS env is ignored by this axon jax build (CLAUDE.md);
+    # HEXPYRO_PLATFORM=cpu routes CPU smoke tests of the bench harness
+    if os.environ.get("HEXPYRO_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HEXPYRO_PLATFORM"])
     jax.config.update("jax_enable_x64", True)
     # TPU MXU f32 matmuls default to bf16 multi-pass; the kinetics log-space
     # activities need true f32 accumulation or residuals plateau above tol
     jax.config.update("jax_default_matmul_precision", "highest")
     cache_dir = os.environ.get("HEXPYRO_XLA_CACHE", "/root/.cache/jax_compile")
-    seed_compile_cache(cache_dir)
+    seeded = seed_compile_cache(cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
@@ -302,17 +363,77 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
             length=length, opts=opts,
         )
     )
-    # compile + warmup
-    t0 = time.time()
-    traj = jax.block_until_ready(fn(T0, P0))
-    compile_s = time.time() - t0
-    conv = bool(np.asarray(traj.converged).all())
-    if compile_only:
-        return {"compile_s": round(compile_s, 1), "converged": conv}
 
+    # ---- compile with phase-separated provenance (VERDICT r4 next-step #1/#3:
+    # the artifact must say whether the persistent cache hit and where a slow
+    # "compile" actually went: tracing, XLA compile, or first execution) ----
+    cache_before = _cache_snapshot(cache_dir)
     t0 = time.time()
-    traj = jax.block_until_ready(fn(T0 + 0.5, P0))
-    elapsed = time.time() - t0
+    lowered = fn.lower(T0, P0)
+    t_trace = time.time() - t0
+    hlo_fingerprint = hashlib.sha256(
+        lowered.as_text().encode()
+    ).hexdigest()[:16]
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+    new_entries = sorted(set(_cache_snapshot(cache_dir)) - set(cache_before))
+    # a hit deserializes the checked-in executable (measured ~10-40 s for the
+    # 19 MB official entry) and writes no new big entry; a miss compiles
+    # (200-800 s measured) and persists a new one
+    cache_hit = not new_entries and t_compile < 120.0
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        cost = {k: float(ca[k]) for k in ("flops", "bytes accessed") if k in ca}
+    except Exception:
+        cost = None
+    t0 = time.time()
+    traj = jax.block_until_ready(compiled(T0, P0))
+    t_first = time.time() - t0
+    compile_s = t_trace + t_compile + t_first
+    conv = bool(np.asarray(traj.converged).all())
+    try:
+        platform_version = jax.devices()[0].client.platform_version
+    except Exception:
+        platform_version = None
+    provenance = {
+        "t_trace_s": round(t_trace, 1),
+        "t_compile_s": round(t_compile, 1),
+        "t_first_exec_s": round(t_first, 2),
+        "cache_hit": cache_hit,
+        "cache_entries_seeded": seeded,
+        "new_cache_entries": new_entries,
+        "hlo_fingerprint": hlo_fingerprint,
+        "jax_version": jax.__version__,
+        "platform_version": platform_version,
+    }
+    if compile_only:
+        return {"compile_s": round(compile_s, 1), "converged": conv,
+                "provenance": provenance}
+
+    # ---- timed repeats + slow-mode policy (VERDICT r4 next-step #1) ----
+    k = int(os.environ.get("HEXPYRO_BENCH_REPEATS", "3"))
+    args = (T0 + 0.5, P0)
+    times, traj = measure_repeats(compiled, args, k)
+    attempts = [repeat_stats(times)]
+    is_official = (mech_name == "NUIGMech1.1" and B == 16 and n_steps == 800
+                   and opts is None)
+    fast_ref = float(os.environ.get("HEXPYRO_BENCH_FAST_REF",
+                                    OFFICIAL_FAST_REF_ELAPSED_S))
+    if is_official and attempts[0]["median_s"] > fast_ref * SLOW_MODE_FACTOR:
+        sys.stderr.write(
+            f"bench: slow mode suspected (median {attempts[0]['median_s']} s "
+            f"vs fast-ref {fast_ref} s); cooling down 60 s and re-measuring\n"
+        )
+        time.sleep(60.0)
+        times, traj = measure_repeats(compiled, args, k)
+        attempts.append(repeat_stats(times))
+    # official value: the better attempt's median (the slow mode is a
+    # documented environment artifact -- same executable, same solver
+    # counters, ~2.65x wall; both attempts stay in the artifact)
+    best_attempt = min(attempts, key=lambda a: a["median_s"])
+    elapsed = best_attempt["median_s"]
 
     traj_per_s = B * (n_steps / 800.0) / elapsed
 
@@ -329,9 +450,21 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
         np.asarray(traj.prec_rescues), B=B, ns=arr.n_species,
         nr=int(arr.nu_net.shape[0]), n_sys=arr.n_species, opts=eff_opts,
     )
+    model_total = flops["flops_total"]
     achieved = flops.pop("flops_total") / elapsed
     flops_split = flops.pop("flops_split")
     is_v5e = "v5 lite" in str(jax.devices()[0])
+    if cost and cost.get("flops"):
+        # XLA cost analysis counts each while/scan BODY once (static count,
+        # no trip counts), so the raw ratio vs the analytic model's
+        # counter-weighted total mainly reflects the measured iteration
+        # counts; it is recorded as the requested cross-check anchor
+        # (VERDICT r4 next-step #7), interpretation in VALIDATION.md.
+        provenance["xla_cost_analysis"] = {
+            **{k: round(v, 1) for k, v in cost.items()},
+            "flop_model_total": round(model_total, 1),
+            "model_over_xla_flops": round(model_total / cost["flops"], 3),
+        }
     perf = {
         "achieved_f32_gflops": round(achieved / 1e9, 1),
         "mfu_vs_f32_highest_peak": (
@@ -357,7 +490,10 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
             "batch": B,
             "segments": n_steps,
             "elapsed_s": round(elapsed, 2),
+            "repeats": attempts,
+            "slow_mode_retry": len(attempts) > 1,
             "compile_s": round(compile_s, 1),
+            "provenance": provenance,
             "converged": conv,
             "max_resid": round(float(np.max(np.asarray(traj.max_resid))), 2),
             "dtype": dtype_name,
@@ -422,6 +558,9 @@ def run_train_bench() -> dict:
     AdamW -- jitted, K steps per lax.scan dispatch, flagship batch size 8.
     """
     import jax
+
+    if os.environ.get("HEXPYRO_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HEXPYRO_PLATFORM"])
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -429,8 +568,13 @@ def run_train_bench() -> dict:
     from hexpyro.surrogate.crnn import config_for, init_parameters
     from hexpyro.training import crnn_trainer as ct
 
+    # production scale (VERDICT r4 next-step #9): B=8 x K=100 steps = one full
+    # 800-case flagship epoch's optimizer updates per timed dispatch (the
+    # committed 64-case subset is cycled to 800 virtual cases; per-step cost
+    # is data-independent -- the dopri5 budget is fixed at
+    # max_steps_per_interval, so the timing equals the flagship epoch's)
     B = int(os.environ.get("HEXPYRO_BENCH_TRAIN_B", "8"))
-    K = int(os.environ.get("HEXPYRO_BENCH_TRAIN_STEPS", "40"))
+    K = int(os.environ.get("HEXPYRO_BENCH_TRAIN_STEPS", "100"))
     tsteps, Tlist, u0, ylabel, yscale, source = _train_bench_data()
     ccfg = config_for("JetSurf")
     tcfg = ct.CRNNTrainConfig(batch_size=B, max_steps_per_interval=2)
@@ -463,15 +607,21 @@ def run_train_bench() -> dict:
     t0 = time.time()
     out = jax.block_until_ready(run_steps(p, opt_state, batches))
     compile_s = time.time() - t0
-    t0 = time.time()
-    out = jax.block_until_ready(run_steps(p, opt_state, batches))
-    elapsed = time.time() - t0
-    steps_per_s = K / elapsed
+    times = []
+    for _ in range(int(os.environ.get("HEXPYRO_BENCH_TRAIN_REPEATS", "2"))):
+        t0 = time.time()
+        out = jax.block_until_ready(run_steps(p, opt_state, batches))
+        times.append(time.time() - t0)
+    stats = repeat_stats(times)
+    steps_per_s = K / stats["median_s"]
     return {
         "steps_per_s": round(steps_per_s, 3),
         "experiments_per_s": round(steps_per_s * B, 2),
         "batch": B,
         "steps_timed": K,
+        "epoch_equivalent": f"{K * B} experiments = one 800-case epoch"
+        if K * B == 800 else None,
+        "repeats": stats,
         "compile_s": round(compile_s, 1),
         "loss_finite": bool(np.isfinite(np.asarray(out[2])).all()),
         "data": source,

@@ -44,6 +44,13 @@ class PipelineConfig:
     # re-solve cases whose worst segment residual exceeds the rescue threshold
     # at f64 with the conservative LU solver (stage_simulate)
     rescue: bool = True
+    # stiffness-ordered batch composition: sort cases by T0 before chunking so
+    # co-batched lanes converge together. The masked-lane batch refreshes the
+    # Jacobian whenever ANY lane fails, so heterogeneous chunks make every
+    # lane pay for the slowest (measured refreshes/segment grow 2.5x from
+    # B=16 to B=64 on random composition, VALIDATION.md). Output files keep
+    # their global case numbering either way.
+    sort_by_T0: bool = False
 
     # training knobs (None -> module defaults)
     epochs: int | None = None

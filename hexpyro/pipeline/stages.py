@@ -122,6 +122,13 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
         cases = cases[gids]
     else:
         gids = np.arange(len(cases))
+    # stiffness-ordered composition (PipelineConfig.sort_by_T0; env override
+    # HEXPYRO_SORT_CASES=0|1 for A/B without code edits): chunk T0-sorted
+    # cases so co-batched lanes converge together; files keep global ids
+    sort_env = os.environ.get("HEXPYRO_SORT_CASES")
+    if (cfg.sort_by_T0 if sort_env is None else sort_env not in ("", "0")):
+        order = np.argsort(cases[:, 0], kind="stable")
+        cases, gids = cases[order], gids[order]
     n = len(cases)
     mech_tag = "NUIG" if cfg.mechanism.startswith("NUIG") else cfg.mechanism
 
@@ -330,8 +337,10 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             jac_refreshes=np.stack(refs_per_chunk),
             prec_rescues=np.stack(rescs_per_chunk),
             n_unconverged=n_unconverged,
-            case_converged=case_conv,
-            case_max_resid=case_resid,
+            # per-case arrays in GLOBAL case order (sort_by_T0 permutes the
+            # solve order; gids maps local position -> global case index)
+            case_converged=case_conv[np.argsort(gids)],
+            case_max_resid=case_resid[np.argsort(gids)],
         )
         if verbose:
             print(f"[simulate] Newton iters/segment: mean {iters.mean():.1f} "

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Production-path sweep throughput bench: stage_simulate cases/s, one JSON line.
+
+Unlike bench.py (one monolithic B-wide batch of the raw f32 solver), this
+times the SHIPPING configuration: chunked windowed sweep including the f64
+rescue pass -- the number a user generating a dataset actually gets. It is
+the vehicle for (a) the stiffness-ordered batch-composition A/B
+(PipelineConfig.sort_by_T0; VERDICT r4 next-step #4) and (b) the honest
+LLNL row (raw-f32 B=16 leaves lanes unconverged; production always routes
+them through the rescue -- VERDICT r4 next-step #6).
+
+Usage (env-driven, composes with scripts/bench_queue.sh):
+  HEXPYRO_SWEEP_MECH=NUIGMech1.1 HEXPYRO_SWEEP_N=64 HEXPYRO_SWEEP_CHUNK=16 \
+  HEXPYRO_SORT_CASES=1 python scripts/sweep_bench.py
+Env: HEXPYRO_SWEEP_{MECH,N,CHUNK,WINDOW,MODE(off|on),RESCUE(0|1)}.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from hexpyro.pipeline.config import PipelineConfig
+
+
+def main():
+    mech = os.environ.get("HEXPYRO_SWEEP_MECH", "NUIGMech1.1")
+    n = int(os.environ.get("HEXPYRO_SWEEP_N", "64"))
+    chunk = int(os.environ.get("HEXPYRO_SWEEP_CHUNK", "16"))
+    window = int(os.environ.get("HEXPYRO_SWEEP_WINDOW", "100"))
+    energy_on = os.environ.get("HEXPYRO_SWEEP_MODE", "off") == "on"
+    rescue = os.environ.get("HEXPYRO_SWEEP_RESCUE", "1") not in ("", "0")
+    sort_cases = os.environ.get("HEXPYRO_SORT_CASES", "0") not in ("", "0")
+
+    tmp = tempfile.mkdtemp(prefix="sweep_bench_")
+    cfg = PipelineConfig(
+        mechanism=mech, energy_on=energy_on, dims=2, n_cases=n, seed=2024,
+        out_root=tmp, dtype="f32", chunk_size=chunk, window=window,
+        rescue=rescue, sort_by_T0=sort_cases,
+    )
+    try:
+        from hexpyro.pipeline import stages
+        from hexpyro.sampling import lhs
+
+        cases = lhs.sample_2d(n, seed=cfg.seed)
+        t0 = time.time()
+        stages.stage_simulate(cfg, cases=cases, verbose=True)
+        elapsed = time.time() - t0
+        d = np.load(f"{cfg.dataset_dir}/solver_diagnostics.npz")
+        out = {
+            "metric": "production PFR sweep cases/s (stage_simulate incl. rescue)",
+            "cases_per_s": round(n / elapsed, 4),
+            "elapsed_s": round(elapsed, 1),
+            "mechanism": mech,
+            "mode": cfg.mode,
+            "n_cases": n,
+            "chunk": chunk,
+            "window": window,
+            "sorted_by_T0": sort_cases,
+            "rescue": rescue,
+            "n_unconverged": int(d["n_unconverged"]),
+            "max_resid": round(float(np.nanmax(d["case_max_resid"])), 2),
+            "newton_iters_per_segment": round(float(d["newton_iters"].mean()), 3),
+            "jac_refreshes_per_segment": round(float(d["jac_refreshes"].mean()), 4),
+            "lu_rescues_total": int(d["prec_rescues"].sum()),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

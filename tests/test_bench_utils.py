@@ -67,3 +67,23 @@ def test_pfr_flop_model_scales_with_counters():
     # refreshes==rescues means every refresh is charged gate-only + LU
     split = base["flops_split"]
     assert split["lu_rescues"] > 0 and split["jacobian+ns_refresh"] > 0
+
+
+def test_repeat_stats_summary():
+    bench = _load_bench()
+    s = bench.repeat_stats([5.0, 6.0, 16.0])
+    assert s["best_s"] == 5.0
+    assert s["median_s"] == 6.0
+    assert abs(s["spread"] - 11.0 / 6.0) < 1e-4  # rounded to 4 decimals
+    assert s["times_s"] == [5.0, 6.0, 16.0]  # original order preserved
+    one = bench.repeat_stats([2.0])
+    assert one["best_s"] == one["median_s"] == 2.0 and one["spread"] == 0.0
+
+
+def test_cache_snapshot_filters_small_entries(tmp_path):
+    bench = _load_bench()
+    (tmp_path / "big-cache").write_bytes(b"x" * 1_500_000)
+    (tmp_path / "small-cache").write_bytes(b"x" * 100)
+    snap = bench._cache_snapshot(str(tmp_path))
+    assert snap == {"big-cache": 1_500_000}
+    assert bench._cache_snapshot(str(tmp_path / "missing")) == {}
