@@ -303,6 +303,43 @@ def measure_repeats(compiled, args, k: int):
     return times, out
 
 
+def device_health_probes() -> dict:
+    """Two micro-probes that discriminate slow-mode causes from the artifact
+    alone (VERDICT r4 next-step #2). The documented ~2.65x PFR slow mode hits
+    the gather/HBM-heavy PFR executable while the cache-resident CRNN train
+    graph runs at full speed IN THE SAME PROCESS (BENCH_r04.json), so the
+    leading hypothesis is shared-chip contention on memory bandwidth, not
+    clocks (which would slow both). A slow session with full matmul TFLOP/s
+    but depressed stream GB/s confirms it; both depressed points at clocks or
+    a degraded backend server; both healthy while the PFR graph is slow
+    falsifies contention entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    a = jnp.ones((n, n), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    jax.block_until_ready(mm(a))
+    t0 = time.time()
+    for _ in range(8):
+        out = mm(a)
+    jax.block_until_ready(out)
+    mm_tflops = 8 * 2 * n**3 / (time.time() - t0) / 1e12
+
+    m = 64 * 1024 * 1024  # 256 MB f32, far beyond VMEM: forced HBM streaming
+    x = jnp.zeros((m,), jnp.float32)
+    st = jax.jit(lambda x: x * 1.000001 + 1.0)
+    jax.block_until_ready(st(x))
+    t0 = time.time()
+    y = x
+    for _ in range(8):
+        y = st(y)
+    jax.block_until_ready(y)
+    bw_gbps = 8 * 2 * 4 * m / (time.time() - t0) / 1e9
+    return {"matmul_bf16_tflops": round(mm_tflops, 1),
+            "hbm_stream_gbps": round(bw_gbps, 1)}
+
+
 def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
         compile_only: bool = False) -> dict:
     os.environ.setdefault("HEXPYRO_CACHE", "/root/.cache/hexpyro")
@@ -331,6 +368,18 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
     from hexpyro.sampling.lhs import sample_2d
 
     dtype = jnp.float32 if dtype_name == "f32" else jnp.float64
+
+    # explicit early device op + stderr marker: the documented init-hang mode
+    # (opening a TPU client too soon after another exits) blocks HERE with ~0
+    # CPU and no fault; the watchdog wrapper in main() kills and retries when
+    # this marker does not appear in time
+    t0 = time.time()
+    jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+    sys.stderr.write(
+        f"bench: device ready in {time.time() - t0:.1f} s "
+        f"({jax.devices()[0]})\n"
+    )
+    sys.stderr.flush()
 
     mech = load_mechanism(
         f"/root/reference/DETAILED_KINETIC_MODEL/{mech_name}.yaml"
@@ -371,12 +420,16 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
     t0 = time.time()
     lowered = fn.lower(T0, P0)
     t_trace = time.time() - t0
+    sys.stderr.write(f"bench: traced in {t_trace:.1f} s\n")
+    sys.stderr.flush()
     hlo_fingerprint = hashlib.sha256(
         lowered.as_text().encode()
     ).hexdigest()[:16]
     t0 = time.time()
     compiled = lowered.compile()
     t_compile = time.time() - t0
+    sys.stderr.write(f"bench: compiled in {t_compile:.1f} s\n")
+    sys.stderr.flush()
     new_entries = sorted(set(_cache_snapshot(cache_dir)) - set(cache_before))
     # a hit deserializes the checked-in executable (measured ~10-40 s for the
     # 19 MB official entry) and writes no new big entry; a miss compiles
@@ -417,6 +470,10 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
     args = (T0 + 0.5, P0)
     times, traj = measure_repeats(compiled, args, k)
     attempts = [repeat_stats(times)]
+    try:  # device-health fingerprint recorded NEXT TO the timings they judge
+        attempts[0]["device_health"] = device_health_probes()
+    except Exception as e:
+        sys.stderr.write(f"bench: health probes failed: {e}\n")
     is_official = (mech_name == "NUIGMech1.1" and B == 16 and n_steps == 800
                    and opts is None)
     fast_ref = float(os.environ.get("HEXPYRO_BENCH_FAST_REF",
@@ -429,6 +486,10 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
         time.sleep(60.0)
         times, traj = measure_repeats(compiled, args, k)
         attempts.append(repeat_stats(times))
+        try:
+            attempts[1]["device_health"] = device_health_probes()
+        except Exception:
+            pass
     # official value: the better attempt's median (the slow mode is a
     # documented environment artifact -- same executable, same solver
     # counters, ~2.65x wall; both attempts stay in the artifact)
@@ -727,6 +788,63 @@ def measure_torch_train_baseline(max_steps: int = 5) -> dict:
 TORCH_TRAIN_BASELINE_STEPS_PER_S = 0.176
 
 
+def _supervised_main() -> bool:
+    """Run the bench in a child process with an init-hang watchdog.
+
+    The axon TPU has a documented silent hang: a client opened within ~30 s
+    of the previous one exiting blocks in device init forever (~0 CPU, no
+    fault) -- observed 3x in round 4 and twice this round, including one
+    25-minute dead driver-format run. The child prints a 'device ready'
+    marker to stderr as its first device op (run()); if the marker does not
+    appear within HEXPYRO_BENCH_INIT_TIMEOUT (default 300 s) the child is
+    killed, the parent sleeps out the churn window, and retries (up to 2
+    retries). A total deadline still bounds legitimate-but-stuck runs.
+    Returns True when the child produced output (its stdout passes through).
+    """
+    import subprocess
+    import threading
+
+    init_timeout = float(os.environ.get("HEXPYRO_BENCH_INIT_TIMEOUT", "300"))
+    total_timeout = float(os.environ.get("HEXPYRO_BENCH_TOTAL_TIMEOUT", "2400"))
+    env = dict(os.environ, HEXPYRO_BENCH_INNER="1")
+    for attempt in range(3):
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+            env=env, stderr=subprocess.PIPE, text=True,
+        )
+        ready = threading.Event()
+
+        def pump(pipe=child.stderr):
+            for line in pipe:
+                sys.stderr.write(line)
+                if "bench: device ready" in line:
+                    ready.set()
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        start = time.time()
+        hang = False
+        while child.poll() is None:
+            if not ready.is_set() and time.time() - start > init_timeout:
+                hang = True
+                break
+            if time.time() - start > total_timeout:
+                hang = True
+                break
+            time.sleep(2.0)
+        if not hang:
+            return child.returncode == 0
+        sys.stderr.write(
+            f"bench: watchdog killing child (attempt {attempt + 1}: "
+            f"{'init hang' if not ready.is_set() else 'total timeout'} after "
+            f"{time.time() - start:.0f} s); 75 s cool-down\n"
+        )
+        child.kill()
+        child.wait()
+        time.sleep(75.0)
+    return False
+
+
 def main() -> None:
     if os.environ.get("HEXPYRO_BENCH_BASELINE"):
         print(json.dumps(measure_cpu_baseline()))
@@ -734,6 +852,12 @@ def main() -> None:
     if os.environ.get("HEXPYRO_BENCH_TRAIN_BASELINE"):
         print(json.dumps(measure_torch_train_baseline()))
         return
+    # watchdog wrapper for TPU runs (see _supervised_main); CPU smoke runs
+    # and explicit opt-outs go straight through
+    if (not os.environ.get("HEXPYRO_BENCH_INNER")
+            and not os.environ.get("HEXPYRO_BENCH_NO_WATCHDOG")
+            and os.environ.get("HEXPYRO_PLATFORM") != "cpu"):
+        sys.exit(0 if _supervised_main() else 1)
     preempted = _preempt_resumable_tpu_job()
     mech_name = os.environ.get("HEXPYRO_BENCH_MECH", "NUIGMech1.1")
     # B=16 is NUIGMech1.1's measured throughput peak on one v5e chip with the

@@ -31,8 +31,11 @@ def load_arms(dirs):
             seen.add(base)
             try:
                 with open(path) as f:
-                    d_ = json.load(f)
-            except (json.JSONDecodeError, OSError):
+                    lines = [l for l in f if l.strip().startswith("{")]
+                d_ = json.loads(lines[-1]) if lines else None
+            except (json.JSONDecodeError, OSError, IndexError):
+                continue
+            if d_ is None:
                 continue
             det = d_.get("detail", {})
             perf = det.get("perf", {})

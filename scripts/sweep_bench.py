@@ -45,12 +45,29 @@ def main():
         rescue=rescue, sort_by_T0=sort_cases,
     )
     try:
+        import contextlib
+
+        import jax
+
+        if os.environ.get("HEXPYRO_PLATFORM"):
+            jax.config.update("jax_platforms", os.environ["HEXPYRO_PLATFORM"])
+        # early device op + stderr marker for bench_queue's init-hang watchdog
+        # (same protocol as bench.py)
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+        print(f"bench: device ready in {time.time() - t0:.1f} s",
+              file=sys.stderr, flush=True)
+
         from hexpyro.pipeline import stages
         from hexpyro.sampling import lhs
 
         cases = lhs.sample_2d(n, seed=cfg.seed)
         t0 = time.time()
-        stages.stage_simulate(cfg, cases=cases, verbose=True)
+        # progress lines -> stderr so stdout stays one parseable JSON line
+        with contextlib.redirect_stdout(sys.stderr):
+            stages.stage_simulate(cfg, cases=cases, verbose=True)
         elapsed = time.time() - t0
         d = np.load(f"{cfg.dataset_dir}/solver_diagnostics.npz")
         out = {
