@@ -76,6 +76,7 @@ def read_trajectory_txt(path: str, ns: int = 9):
 def write_sweep(
     out_dir: str, mech_name: str, energy_on: bool, traj, arr, tracked_idx,
     offset: int = 0, include_rho: bool = False, case_ids=None,
+    projected: bool = False,
 ) -> list[str]:
     """Write a batched PFRTrajectory as per-case reference-format txt files.
 
@@ -83,9 +84,16 @@ def write_sweep(
     (INDEPENDENT_DATASET_GENERATION/simul_data_gene_fix_chain_4D.py:231-233).
     case_ids optionally gives explicit 1-based case numbers (scattered
     re-solves, e.g. the stage_simulate rescue pass) instead of offset+b+1.
+    projected=True means traj came from simulate_pfr(project_tracked=...):
+    its Y field already holds the tracked-species concentrations [kmol/m^3]
+    computed on device (pfr.py), so only (B, n+1, 9) crosses the tunnel
+    instead of the full (B, n+1, ns) mass-fraction history.
     """
     os.makedirs(out_dir, exist_ok=True)
-    C = np.asarray(traj.concentrations(arr))[:, :, tracked_idx]  # (B, n+1, 9)
+    if projected:
+        C = np.asarray(traj.Y)  # (B, n+1, 9) already concentrations
+    else:
+        C = np.asarray(traj.concentrations(arr))[:, :, tracked_idx]  # (B, n+1, 9)
     t = np.asarray(traj.t)
     T = np.asarray(traj.T)
     P = np.asarray(traj.P)

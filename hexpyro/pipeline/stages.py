@@ -148,17 +148,24 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
         )
         print(f"[simulate] steady-option overrides: {opts_env}")
 
+    # on-device projection to the 9 tracked species' concentrations: the only
+    # per-species data the txt artifacts need. Shipping the full (B, n+1, ns)
+    # Y history through the axon tunnel dominated sweep wall time for the big
+    # mechanisms (measured NUIG chunk-32: ~48 s/chunk transfer vs ~10 s
+    # compute; see pfr.simulate_pfr project_tracked docstring).
+    tracked_j = np.asarray(tracked)
     if cfg.window:
         from ..reactors.pfr import make_windowed_step
 
         step_fn = make_windowed_step(
             arr, window=cfg.window, n_steps=cfg.n_steps, opts=opts,
             energy_on=cfg.energy_on, species_names=mech.species_names,
+            project_tracked=tracked_j,
         )
         fn = lambda T0, P0, L, u0: simulate_pfr_windowed(
             arr, T0, P0, length=L, u0=u0, species_names=mech.species_names,
             n_steps=cfg.n_steps, energy_on=cfg.energy_on, window=cfg.window,
-            step_fn=step_fn, opts=opts,
+            step_fn=step_fn, opts=opts, project_tracked=tracked_j,
         )
     else:
         fn = jax.jit(
@@ -172,6 +179,7 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
                 n_steps=cfg.n_steps,
                 energy_on=cfg.energy_on,
                 opts=opts,
+                project_tracked=tracked_j,
             )
         )
 
@@ -245,6 +253,7 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             cfg.dataset_dir, mech_tag, cfg.energy_on, traj, arr, tracked,
             include_rho=(cfg.dims == 4),
             case_ids=(gids[lo : lo + len(sel)] + 1).tolist(),
+            projected=True,
         )
         if verbose:
             done = min(lo + chunk, n)
@@ -282,18 +291,19 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             rstep = make_windowed_step(
                 arr64, window=cfg.window, n_steps=cfg.n_steps, opts=opts64,
                 energy_on=cfg.energy_on, species_names=mech.species_names,
+                project_tracked=tracked_j,
             )
             rfn = lambda T0, P0, L, u0: simulate_pfr_windowed(
                 arr64, T0, P0, length=L, u0=u0, species_names=mech.species_names,
                 n_steps=cfg.n_steps, energy_on=cfg.energy_on, window=cfg.window,
-                step_fn=rstep, opts=opts64,
+                step_fn=rstep, opts=opts64, project_tracked=tracked_j,
             )
         else:
             rfn = jax.jit(
                 lambda T0, P0, L, u0: simulate_pfr(
                     arr64, T0, P0, length=L, u0=u0, opts=opts64,
                     species_names=mech.species_names, n_steps=cfg.n_steps,
-                    energy_on=cfg.energy_on,
+                    energy_on=cfg.energy_on, project_tracked=tracked_j,
                 )
             )
         still_bad = []
@@ -314,6 +324,7 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             artifacts.write_sweep(
                 cfg.dataset_dir, mech_tag, cfg.energy_on, traj, arr64, tracked,
                 include_rho=(cfg.dims == 4), case_ids=(gids[ids] + 1).tolist(),
+                projected=True,
             )
             r = np.asarray(traj.max_resid)[: len(sel)]
             case_resid[ids] = r

@@ -89,6 +89,7 @@ def simulate_pfr(
     species_names=None,
     start_state=None,
     return_state: bool = False,
+    project_tracked=None,
 ):
     """Simulate the PFR chain for a batch of inlet conditions.
 
@@ -101,6 +102,16 @@ def simulate_pfr(
       start_state: optional (Y, T, dtau) tuple to resume marching mid-reactor
         (window execution); mdot is always computed from the TRUE inlet feed.
       return_state: also return the final (Y, T, dtau) for chaining windows.
+      project_tracked: optional (k,) species indices. When given, the returned
+        trajectory's Y field holds the MOLAR CONCENTRATIONS [kmol/m^3] of just
+        those species (shape (B, n+1, k)) instead of all-species mass
+        fractions -- projected ON DEVICE so a sweep ships ~k/ns of the data
+        to the host. Measured: the NUIG (924-species) production sweep is
+        BOUND by the device->host tunnel transfer of the full Y history
+        (~95 MB per 32-case chunk), not by compute; the 9 tracked species
+        are all the trajectory txt artifacts ever use (reference
+        simul_data_gene_fix_chain_2D.py:206-208). `concentrations()` must
+        not be called on a projected trajectory.
 
     Returns PFRTrajectory (and the final state when return_state). Fully
     jittable; wrap in jax.jit for production use.
@@ -162,6 +173,13 @@ def simulate_pfr(
     diagJ_start = jnp.zeros((B, arr.n_species), dtype) if carry_jac else None
     hc_start = jnp.zeros((), bool) if carry_jac else None
 
+    if project_tracked is not None:
+        tr_idx = jnp.asarray(project_tracked)
+        mw_tr = arr.mw[tr_idx]
+        proj = lambda Y, rho: rho[:, None] * Y[:, tr_idx] / mw_tr
+    else:
+        proj = lambda Y, rho: Y
+
     def segment(carry, _):
         Y_prev, T_prev, dtau_prev, fac_prev, diagJ_prev, hc_prev = carry
         dtau0 = jnp.minimum(dtau_prev, opts.dtau_carry_max_frac * t_res0)
@@ -184,7 +202,7 @@ def simulate_pfr(
         diagJ_next = info["diagJ"] if carry_jac else None
         hc_next = jnp.ones((), bool) if carry_jac else None
         return (Y, T, info["dtau"], info["fac"], diagJ_next, hc_next), (
-            Y, T, rho, t_r, u, info["converged"], info["iterations"],
+            proj(Y, rho), T, rho, t_r, u, info["converged"], info["iterations"],
             info["jac_refreshes"], info["prec_rescues"], info["resid"]
         )
 
@@ -196,7 +214,7 @@ def simulate_pfr(
     )
     # stack the window's inlet state as grid point 0
     rho_start = nasa7.density(T_start, P0, Y_start, arr.mw)
-    Y_all = jnp.concatenate([Y_start[None], Ys], axis=0)  # (n+1, B, ns)
+    Y_all = jnp.concatenate([proj(Y_start, rho_start)[None], Ys], axis=0)  # (n+1, B, ns|k)
     T_all = jnp.concatenate([T_start[None], Ts], axis=0)
     rho_all = jnp.concatenate([rho_start[None], rhos], axis=0)
     u_all = jnp.concatenate([(mdot_over_A / rho_start)[None], us], axis=0)
@@ -226,7 +244,7 @@ def simulate_pfr(
 
 
 def make_windowed_step(arr, *, window, n_steps, energy_on=False, opts=None,
-                       species_names=None, Y_feed=None):
+                       species_names=None, Y_feed=None, project_tracked=None):
     """One jitted window-advance fn, reusable across simulate_pfr_windowed
     calls (a sweep re-jitting per chunk would re-trace the big-mechanism graph
     every chunk)."""
@@ -238,6 +256,7 @@ def make_windowed_step(arr, *, window, n_steps, energy_on=False, opts=None,
             length=L * window / n_steps, u0=U,
             energy_on=energy_on, opts=opts, species_names=species_names,
             start_state=state, return_state=True,
+            project_tracked=project_tracked,
         )
 
     return jax.jit(step)
@@ -257,6 +276,7 @@ def simulate_pfr_windowed(
     species_names=None,
     Y_feed=None,
     step_fn=None,
+    project_tracked=None,
 ):
     """Run the chain as sequential jitted windows of `window` segments.
 
@@ -286,7 +306,7 @@ def simulate_pfr_windowed(
 
     fn = step_fn or make_windowed_step(
         arr, window=window, n_steps=n_steps, energy_on=energy_on, opts=opts,
-        species_names=species_names,
+        species_names=species_names, project_tracked=project_tracked,
     )
     parts = []
     for w in range(n_steps // window):

@@ -64,6 +64,18 @@ def main():
         from hexpyro.sampling import lhs
 
         cases = lhs.sample_2d(n, seed=cfg.seed)
+        # warmup: one chunk in a scratch dir pays tracing + compile (persistent
+        # cache makes later reps cheap, but rep 1 of each graph shape would
+        # otherwise fold a 100-1000 s compile into cases/s)
+        wtmp = tempfile.mkdtemp(prefix="sweep_bench_warm_")
+        t0 = time.time()
+        with contextlib.redirect_stdout(sys.stderr):
+            stages.stage_simulate(
+                cfg.with_overrides(out_root=wtmp, n_cases=chunk),
+                cases=cases[:chunk], verbose=False,
+            )
+        warm_s = time.time() - t0
+        shutil.rmtree(wtmp, ignore_errors=True)
         t0 = time.time()
         # progress lines -> stderr so stdout stays one parseable JSON line
         with contextlib.redirect_stdout(sys.stderr):
@@ -74,6 +86,7 @@ def main():
             "metric": "production PFR sweep cases/s (stage_simulate incl. rescue)",
             "cases_per_s": round(n / elapsed, 4),
             "elapsed_s": round(elapsed, 1),
+            "warmup_compile_s": round(warm_s, 1),
             "mechanism": mech,
             "mode": cfg.mode,
             "n_cases": n,

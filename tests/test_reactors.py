@@ -114,6 +114,22 @@ class TestPFRChain:
         assert np.all(np.diff(np.asarray(traj.t), axis=1) > 0)
         assert float(traj.u[0, -1]) > float(traj.u[0, 0])
 
+    def test_project_tracked_matches_host_projection(self, jetsurf, jetsurf_dev):
+        """simulate_pfr(project_tracked=...) returns the tracked species'
+        concentrations computed on device, bit-identical to the host-side
+        concentrations() path it replaces (pfr.py; cuts the sweep's
+        device->host transfer by ~ns/9)."""
+        arr = jetsurf_dev
+        tr = np.asarray(tracked_indices(jetsurf.species_names))
+        T0 = jnp.array([1000.0, 1100.0])
+        P0 = jnp.array([2.0e5, 1.0e5])
+        kw = dict(species_names=jetsurf.species_names, n_steps=5, length=5 / 800.0)
+        full = simulate_pfr(arr, T0, P0, **kw)
+        proj = simulate_pfr(arr, T0, P0, project_tracked=tr, **kw)
+        C_host = np.asarray(full.concentrations(arr))[:, :, tr]
+        np.testing.assert_array_equal(np.asarray(proj.Y), C_host)
+        np.testing.assert_array_equal(np.asarray(proj.t), np.asarray(full.t))
+
     def test_jetsurf_eon_endothermic(self, jetsurf, jetsurf_dev):
         arr = jetsurf_dev
         T0 = jnp.array([1100.0])
