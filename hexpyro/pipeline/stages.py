@@ -275,6 +275,17 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
     if force_f64_ids is not None:
         forced = np.where(np.isin(gids, np.asarray(force_f64_ids, int)))[0]
         bad = np.union1d(bad, forced).astype(int)
+    # restart-safe rescue queue: a killed/timed-out rescue must not be lost on
+    # rerun (restart skips already-written f32 chunks, so their residuals are
+    # unknown and `bad` would come up empty). The pending GLOBAL ids persist
+    # in the dataset dir and are drained as rescue chunks complete.
+    import json as _json
+
+    pending_path = os.path.join(cfg.dataset_dir, "rescue_pending.json")
+    if os.path.exists(pending_path):
+        with open(pending_path) as f:
+            prev = np.asarray(_json.load(f), int)
+        bad = np.union1d(bad, np.where(np.isin(gids, prev))[0]).astype(int)
     if len(bad) and cfg.rescue:
         if verbose:
             print(f"[simulate] rescuing {len(bad)} cases at f64 "
@@ -306,6 +317,8 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
                     energy_on=cfg.energy_on, project_tracked=tracked_j,
                 )
             )
+        with open(pending_path, "w") as f:
+            _json.dump((gids[bad]).tolist(), f)
         still_bad = []
         for lo in range(0, len(bad), rchunk):
             ids = bad[lo : lo + rchunk]
@@ -330,9 +343,12 @@ def stage_simulate(cfg: PipelineConfig, cases: np.ndarray | None = None, verbose
             case_resid[ids] = r
             case_conv[ids] = np.asarray(traj.converged)[: len(sel)]
             still_bad += (gids[ids[r > rescue_thresh]] + 1).tolist()
+            with open(pending_path, "w") as f:  # drain the restart queue
+                _json.dump(gids[bad[lo + rchunk:]].tolist(), f)
             if verbose:
                 print(f"[simulate] rescued {min(lo + rchunk, len(bad))}/"
                       f"{len(bad)}", flush=True)
+        os.remove(pending_path)
         n_unconverged = int((~case_conv).sum())
         if still_bad:
             print(f"[simulate] WARNING: rescue left cases {still_bad} above "
