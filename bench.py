@@ -833,7 +833,18 @@ def _supervised_main() -> bool:
                 break
             time.sleep(2.0)
         if not hang:
-            return child.returncode == 0
+            if child.returncode == 0:
+                return True
+            # a TPU device fault (e.g. the documented LLNL B=64 UNAVAILABLE)
+            # poisons the child's device context -- the in-process
+            # smaller-config retry faults too (measured 2/2), so recovery
+            # requires a FRESH process after the churn window
+            sys.stderr.write(
+                f"bench: child exited rc={child.returncode} "
+                f"(attempt {attempt + 1}); 75 s cool-down before retry\n"
+            )
+            time.sleep(75.0)
+            continue
         sys.stderr.write(
             f"bench: watchdog killing child (attempt {attempt + 1}: "
             f"{'init hang' if not ready.is_set() else 'total timeout'} after "
