@@ -315,29 +315,43 @@ def device_health_probes() -> dict:
     falsifies contention entirely."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
+    # each probe loops ON DEVICE (lax.fori_loop inside one dispatch) so the
+    # rate is not confounded by per-dispatch latency: a round-5 session
+    # measured the 8-host-dispatch stream variant at 14.9 GB/s (vs 115
+    # healthy) while the PFR executable ran at FULL speed -- the depression
+    # was dispatch latency under server load, not bandwidth. Latency is now
+    # its own probe.
+    reps = 8
     n = 4096
     a = jnp.ones((n, n), jnp.bfloat16)
-    mm = jax.jit(lambda a: a @ a)
+    mm = jax.jit(lambda a: lax.fori_loop(0, reps, lambda i, x: x @ a, a))
     jax.block_until_ready(mm(a))
     t0 = time.time()
-    for _ in range(8):
-        out = mm(a)
-    jax.block_until_ready(out)
-    mm_tflops = 8 * 2 * n**3 / (time.time() - t0) / 1e12
+    jax.block_until_ready(mm(a))
+    mm_tflops = reps * 2 * n**3 / (time.time() - t0) / 1e12
 
     m = 64 * 1024 * 1024  # 256 MB f32, far beyond VMEM: forced HBM streaming
     x = jnp.zeros((m,), jnp.float32)
-    st = jax.jit(lambda x: x * 1.000001 + 1.0)
+    st = jax.jit(
+        lambda x: lax.fori_loop(0, reps, lambda i, y: y * 1.000001 + 1.0, x)
+    )
     jax.block_until_ready(st(x))
     t0 = time.time()
-    y = x
-    for _ in range(8):
-        y = st(y)
-    jax.block_until_ready(y)
-    bw_gbps = 8 * 2 * 4 * m / (time.time() - t0) / 1e9
+    jax.block_until_ready(st(x))
+    bw_gbps = reps * 2 * 4 * m / (time.time() - t0) / 1e9
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(tiny(z))
+    t0 = time.time()
+    for _ in range(20):
+        jax.block_until_ready(tiny(z))
+    disp_ms = (time.time() - t0) / 20 * 1e3
     return {"matmul_bf16_tflops": round(mm_tflops, 1),
-            "hbm_stream_gbps": round(bw_gbps, 1)}
+            "hbm_stream_gbps": round(bw_gbps, 1),
+            "dispatch_ms": round(disp_ms, 2)}
 
 
 def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
@@ -431,10 +445,12 @@ def run(B: int, n_steps: int, mech_name: str, dtype_name: str,
     sys.stderr.write(f"bench: compiled in {t_compile:.1f} s\n")
     sys.stderr.flush()
     new_entries = sorted(set(_cache_snapshot(cache_dir)) - set(cache_before))
-    # a hit deserializes the checked-in executable (measured ~10-40 s for the
-    # 19 MB official entry) and writes no new big entry; a miss compiles
-    # (200-800 s measured) and persists a new one
-    cache_hit = not new_entries and t_compile < 120.0
+    # a hit deserializes the checked-in executable and writes no new big
+    # entry; a genuine miss of this graph (>10 s compile, above the
+    # persistent-cache write threshold) always persists a new one. Deserialize
+    # wall time varies 4-120 s with server load, so absence-of-new-entry is
+    # the reliable signal, not the time.
+    cache_hit = not new_entries
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
